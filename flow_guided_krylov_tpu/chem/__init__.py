@@ -1,0 +1,12 @@
+"""Host-side quantum-chemistry front end (integrals + RHF).
+
+Self-contained replacement for the reference's PySCF dependency.
+"""
+
+from .basis import build_shells, nuclear_repulsion
+from .scf import MolecularIntegrals, compute_molecular_integrals, run_rhf
+
+__all__ = [
+    "build_shells", "nuclear_repulsion",
+    "MolecularIntegrals", "compute_molecular_integrals", "run_rhf",
+]

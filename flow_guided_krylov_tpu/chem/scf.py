@@ -1,0 +1,177 @@
+"""Restricted Hartree-Fock and MO-basis integral transformation (host-side).
+
+Behavioral counterpart of the reference's PySCF usage
+(``/root/reference/src/hamiltonians/molecular.py:963-998``): run RHF, then
+return MO-basis h1e = C^T h C and the chemist-notation 4-index ERI tensor.
+Everything is float64 NumPy on the host; results ship to TPU as arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .basis import build_shells, nuclear_charges, nuclear_repulsion
+from .integrals import (eri_tensor, expand_shells, kinetic_matrix,
+                        nuclear_attraction_matrix, overlap_matrix)
+
+__all__ = ["MolecularIntegrals", "compute_molecular_integrals", "run_rhf"]
+
+
+@dataclass
+class MolecularIntegrals:
+    """MO-basis integrals; mirrors ``molecular.py:22-33`` in the reference."""
+    h1e: np.ndarray               # (n, n) one-body MO integrals
+    h2e: np.ndarray               # (n, n, n, n) chemist-notation (pq|rs)
+    nuclear_repulsion: float
+    n_electrons: int
+    n_orbitals: int
+    n_alpha: int
+    n_beta: int
+    hf_energy: Optional[float] = None
+    mo_energies: Optional[np.ndarray] = None
+
+
+def run_rhf(S: np.ndarray, Hcore: np.ndarray, eri: np.ndarray,
+            n_occ: int, e_nuc: float,
+            max_cycles: int = 200, conv_tol: float = 1e-11,
+            ) -> Tuple[float, np.ndarray, np.ndarray]:
+    """RHF with DIIS. Returns (E_total, C, mo_energies)."""
+    s_vals, s_vecs = np.linalg.eigh(S)
+    keep = s_vals > 1e-10
+    X = s_vecs[:, keep] / np.sqrt(s_vals[keep])
+
+    def solve_fock(F):
+        Fp = X.T @ F @ X
+        eps, Cp = np.linalg.eigh(Fp)
+        return eps, X @ Cp
+
+    eps, C = solve_fock(Hcore)
+    D = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+
+    fock_list: List[np.ndarray] = []
+    err_list: List[np.ndarray] = []
+    E_old = 0.0
+    for _ in range(max_cycles):
+        J = np.einsum("pqrs,rs->pq", eri, D, optimize=True)
+        K = np.einsum("prqs,rs->pq", eri, D, optimize=True)
+        F = Hcore + J - 0.5 * K
+        E = 0.5 * np.sum(D * (Hcore + F)) + e_nuc
+
+        # DIIS
+        err = F @ D @ S - S @ D @ F
+        fock_list.append(F)
+        err_list.append(err)
+        if len(fock_list) > 8:
+            fock_list.pop(0)
+            err_list.pop(0)
+        if len(fock_list) > 1:
+            m = len(fock_list)
+            B = -np.ones((m + 1, m + 1))
+            B[m, m] = 0.0
+            for i in range(m):
+                for j in range(m):
+                    B[i, j] = np.sum(err_list[i] * err_list[j])
+            rhs = np.zeros(m + 1)
+            rhs[m] = -1.0
+            try:
+                w = np.linalg.solve(B, rhs)[:m]
+                F = sum(wi * Fi for wi, Fi in zip(w, fock_list))
+            except np.linalg.LinAlgError:
+                pass
+
+        eps, C = solve_fock(F)
+        D = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+        if abs(E - E_old) < conv_tol and np.max(np.abs(err)) < 1e-7:
+            break
+        E_old = E
+    return float(E), C, eps
+
+
+def _transform_to_mo(Hcore: np.ndarray, eri: np.ndarray, C: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    h1 = C.T @ Hcore @ C
+    # quarter transforms, O(n^5)
+    tmp = np.einsum("pqrs,pi->iqrs", eri, C, optimize=True)
+    tmp = np.einsum("iqrs,qj->ijrs", tmp, C, optimize=True)
+    tmp = np.einsum("ijrs,rk->ijks", tmp, C, optimize=True)
+    h2 = np.einsum("ijks,sl->ijkl", tmp, C, optimize=True)
+    return h1, h2
+
+
+def _geometry_key(geometry, basis: str, charge: int, spin: int) -> str:
+    parts = [basis, str(charge), str(spin)]
+    for el, xyz in geometry:
+        parts.append(el)
+        parts.extend(f"{v:.10f}" for v in xyz)
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+
+
+def compute_molecular_integrals(
+    geometry: Sequence[Tuple[str, Tuple[float, float, float]]],
+    basis: str = "sto-3g",
+    charge: int = 0,
+    spin: int = 0,
+    cache_dir: Optional[str] = None,
+) -> MolecularIntegrals:
+    """Drop-in equivalent of the reference's PySCF wrapper.
+
+    Geometry is in Angstrom; ``spin`` is 2S.  Only closed-shell RHF
+    (spin == 0) is implemented — all benchmark molecules are closed shell.
+    """
+    if spin != 0:
+        raise NotImplementedError("only closed-shell RHF (spin=0) is supported")
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "FGK_INTEGRAL_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "fgk_tpu_integrals"))
+    key = _geometry_key(geometry, basis, charge, spin)
+    cache_path = os.path.join(cache_dir, f"{key}.npz")
+    if os.path.exists(cache_path):
+        data = np.load(cache_path)
+        return MolecularIntegrals(
+            h1e=data["h1e"], h2e=data["h2e"],
+            nuclear_repulsion=float(data["e_nuc"]),
+            n_electrons=int(data["n_elec"]), n_orbitals=int(data["n_orb"]),
+            n_alpha=int(data["n_alpha"]), n_beta=int(data["n_beta"]),
+            hf_energy=float(data["e_hf"]), mo_energies=data["mo_energies"])
+
+    shells = build_shells(geometry, basis)
+    funcs = expand_shells(shells)
+    charges, coords = nuclear_charges(geometry)
+    e_nuc = nuclear_repulsion(geometry)
+
+    S = overlap_matrix(funcs)
+    T = kinetic_matrix(funcs)
+    V = nuclear_attraction_matrix(funcs, charges, coords)
+    Hcore = T + V
+    eri = eri_tensor(funcs)
+
+    n_electrons = int(np.sum(charges)) - charge
+    if n_electrons % 2 != 0:
+        raise NotImplementedError("odd electron counts need ROHF")
+    n_occ = n_electrons // 2
+
+    e_hf, C, eps = run_rhf(S, Hcore, eri, n_occ, e_nuc)
+    h1, h2 = _transform_to_mo(Hcore, eri, C)
+
+    result = MolecularIntegrals(
+        h1e=h1, h2e=h2, nuclear_repulsion=e_nuc,
+        n_electrons=n_electrons, n_orbitals=h1.shape[0],
+        n_alpha=n_occ, n_beta=n_occ,
+        hf_energy=e_hf, mo_energies=eps)
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(
+            cache_path, h1e=h1, h2e=h2, e_nuc=e_nuc, n_elec=n_electrons,
+            n_orb=h1.shape[0], n_alpha=n_occ, n_beta=n_occ, e_hf=e_hf,
+            mo_energies=eps)
+    except OSError:
+        pass
+    return result

@@ -1,0 +1,50 @@
+"""Chemistry front-end tests: RHF energies vs literature STO-3G values."""
+
+import numpy as np
+import pytest
+
+from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+
+
+def test_h2_rhf():
+    ints = compute_molecular_integrals([("H", (0, 0, 0)), ("H", (0, 0, 0.74))])
+    assert ints.hf_energy == pytest.approx(-1.1167592, abs=1e-6)
+    assert ints.n_orbitals == 2
+    assert ints.n_alpha == 1
+
+
+def test_he_atom_rhf():
+    ints = compute_molecular_integrals([("He", (0, 0, 0))])
+    assert ints.hf_energy == pytest.approx(-2.8077840, abs=1e-6)
+
+
+def test_be_atom_rhf():
+    ints = compute_molecular_integrals([("Be", (0, 0, 0))])
+    assert ints.hf_energy == pytest.approx(-14.3518800, abs=1e-6)
+
+
+def test_h2o_rhf():
+    ang = np.radians(104.5)
+    geom = [("O", (0.0, 0.0, 0.0)), ("H", (0.96, 0.0, 0.0)),
+            ("H", (0.96 * np.cos(ang), 0.96 * np.sin(ang), 0.0))]
+    ints = compute_molecular_integrals(geom)
+    assert ints.hf_energy == pytest.approx(-74.963319, abs=1e-5)
+    assert ints.n_orbitals == 7
+    assert ints.n_electrons == 10
+
+
+def test_eri_symmetries():
+    ints = compute_molecular_integrals([("Li", (0, 0, 0)), ("H", (0, 0, 1.6))])
+    h2 = ints.h2e
+    assert np.allclose(h2, h2.transpose(1, 0, 2, 3))
+    assert np.allclose(h2, h2.transpose(0, 1, 3, 2))
+    assert np.allclose(h2, h2.transpose(2, 3, 0, 1))
+    assert np.allclose(ints.h1e, ints.h1e.T)
+
+
+def test_h2_631g_rhf():
+    ints = compute_molecular_integrals(
+        [("H", (0, 0, 0)), ("H", (0, 0, 0.74))], basis="6-31g")
+    # literature: ~-1.126828 Ha at 0.74 A
+    assert ints.hf_energy == pytest.approx(-1.12683, abs=2e-4)
+    assert ints.n_orbitals == 4
