@@ -1,0 +1,353 @@
+"""Batched Slater-Condon matrix elements over packed determinants.
+
+This is the framework's hot ops layer — the TPU-native replacement for the
+reference's Python-loop connection enumeration
+(``/root/reference/src/hamiltonians/molecular.py:194-327``) and its
+vectorized diagonal (``molecular.py:133-184``).
+
+Two implementations share the same static excitation grids:
+
+* :func:`make_connection_fn` — jitted JAX (float32), used in the training
+  hot path.  Static shapes: every determinant of fixed (n_orb, n_a, n_b)
+  has exactly ``connection_count`` connections, so the whole batch is one
+  fused gather/vmap with no host round-trips and no connection cache
+  (the reference's ``ConnectionCache`` becomes unnecessary).
+* ``*_np`` functions — vectorized NumPy float64, used on the host for
+  final projected-Hamiltonian assembly where eigensolves need f64
+  (SURVEY.md §7.3 item 4), and doubling as the reference implementation
+  for tests.
+
+Convention: alpha orbitals on Jordan-Wigner qubits 0..n-1, beta on n..2n-1
+(``molecular.py:43-45``); fermionic signs are popcounts of masked prefixes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bits import occupancy, parity_between, parity_between_np
+from .excitations import ExcitationSpec, build_excitation_spec
+
+__all__ = [
+    "SlaterTables", "build_tables", "diagonal_batch", "diagonal_batch_np",
+    "make_connection_fn", "connections_batch_np",
+]
+
+
+@dataclass
+class SlaterTables:
+    """Integral-derived tensors + excitation grids for fixed (n, n_a, n_b)."""
+    n_orb: int
+    n_alpha: int
+    n_beta: int
+    e_nuc: float
+    h1: np.ndarray        # (n, n)
+    h2: np.ndarray        # (n, n, n, n) chemist (pq|rs)
+    jj: np.ndarray        # (n, n, n): jj[p,q,r] = (pq|rr)
+    ex: np.ndarray        # (n, n, n): ex[p,q,r] = (pr|rq)
+    jmat: np.ndarray      # (n, n): (pp|qq)
+    kmat: np.ndarray      # (n, n): (pq|qp)
+    spec_a: ExcitationSpec
+    spec_b: ExcitationSpec
+    ab_grid: np.ndarray   # (n_ab, 4): (occA_i, virA_a, occB_j, virB_b)
+
+    @property
+    def n_connections(self) -> int:
+        return (self.spec_a.n_single + self.spec_b.n_single
+                + self.spec_a.n_double + self.spec_b.n_double
+                + self.ab_grid.shape[0])
+
+    def section_sizes(self) -> Tuple[int, int, int, int, int]:
+        return (self.spec_a.n_single, self.spec_b.n_single,
+                self.spec_a.n_double, self.spec_b.n_double,
+                self.ab_grid.shape[0])
+
+
+def build_tables(h1: np.ndarray, h2: np.ndarray, e_nuc: float,
+                 n_alpha: int, n_beta: int) -> SlaterTables:
+    n = h1.shape[0]
+    if n > 31:
+        raise NotImplementedError("packed uint32 determinants support n_orb <= 31")
+    r = np.arange(n)
+    jj = h2[:, :, r, r]                       # (n, n, n) -> jj[p,q,r]=(pq|rr)
+    ex = np.empty((n, n, n))                  # ex[p,q,r] = (pr|rq) = h2[p,r,r,q]
+    for rr in range(n):
+        ex[:, :, rr] = h2[:, rr, rr, :]
+    jmat = h2[r[:, None], r[:, None], r[None, :], r[None, :]]
+    kmat = h2[r[:, None], r[None, :], r[None, :], r[:, None]]
+    spec_a = build_excitation_spec(n, n_alpha)
+    spec_b = (spec_a if n_beta == n_alpha else build_excitation_spec(n, n_beta))
+    sa, sb = spec_a.singles, spec_b.singles
+    ab = np.array(
+        [(ia, aa, ib, bb) for (ia, aa) in sa for (ib, bb) in sb],
+        dtype=np.int32).reshape(len(sa) * len(sb), 4)
+    return SlaterTables(
+        n_orb=n, n_alpha=n_alpha, n_beta=n_beta, e_nuc=float(e_nuc),
+        h1=np.asarray(h1, np.float64), h2=np.asarray(h2, np.float64),
+        jj=jj, ex=ex, jmat=jmat, kmat=kmat,
+        spec_a=spec_a, spec_b=spec_b, ab_grid=ab)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal elements
+# ---------------------------------------------------------------------------
+
+def _diag_from_occ(na, nb, h1d, jmat, kmat, e_nuc, mm):
+    """Shared diagonal formula; ``mm`` is the (B,n)x(n,n) matmul to use.
+
+    E = E_nuc + sum_p h_pp N_p + 1/2 sum_pq J_pq N_p N_q
+        - 1/2 sum_pq K_pq (na_p na_q + nb_p nb_q)
+    """
+    N = na + nb
+    one = (N * h1d[None, :]).sum(-1)
+    coul = 0.5 * (mm(N, jmat) * N).sum(-1)
+    exch = 0.5 * ((mm(na, kmat) * na).sum(-1) + (mm(nb, kmat) * nb).sum(-1))
+    return e_nuc + one + coul - exch
+
+
+def diagonal_batch(packed: jnp.ndarray, tables: SlaterTables) -> jnp.ndarray:
+    """(B, 2) uint32 -> (B,) float32 diagonal elements <x|H|x> on device.
+
+    Uses HIGHEST matmul precision: these contractions are tiny (n <= ~30)
+    so full-f32 MXU passes cost nothing, and mHa-level accuracy targets
+    rule out bf16 accumulation here.
+    """
+    n = tables.n_orb
+    na = occupancy(packed[:, 0], n).astype(jnp.float32)
+    nb = occupancy(packed[:, 1], n).astype(jnp.float32)
+    h1d = jnp.asarray(np.diag(tables.h1), jnp.float32)
+    jmat = jnp.asarray(tables.jmat, jnp.float32)
+    kmat = jnp.asarray(tables.kmat, jnp.float32)
+
+    def mm(x, y):
+        return jnp.dot(x, y, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    return _diag_from_occ(na, nb, h1d, jmat, kmat, tables.e_nuc, mm)
+
+
+def diagonal_batch_np(packed: np.ndarray, tables: SlaterTables) -> np.ndarray:
+    """Host float64 mirror of :func:`diagonal_batch`."""
+    n = tables.n_orb
+    shifts = np.arange(n, dtype=np.uint32)
+    na = ((packed[:, 0:1] >> shifts) & 1).astype(np.float64)
+    nb = ((packed[:, 1:2] >> shifts) & 1).astype(np.float64)
+    return _diag_from_occ(na, nb, np.diag(tables.h1), tables.jmat,
+                          tables.kmat, tables.e_nuc, np.matmul)
+
+
+# ---------------------------------------------------------------------------
+# Occupied / virtual list extraction
+# ---------------------------------------------------------------------------
+
+def _occ_vir_lists_jax(bits: jnp.ndarray, n: int, k: int):
+    """uint32 scalar -> (occ_list (k,), vir_list (n-k,)) ascending int32."""
+    occ = occupancy(bits, n)                      # (n,)
+    orbitals = jnp.arange(n, dtype=jnp.int32)
+    pos_occ = jnp.where(occ == 1, jnp.cumsum(occ) - 1, k)
+    occ_list = jnp.zeros(k, jnp.int32).at[pos_occ].set(orbitals, mode="drop")
+    vir = 1 - occ
+    pos_vir = jnp.where(vir == 1, jnp.cumsum(vir) - 1, n - k)
+    vir_list = jnp.zeros(n - k, jnp.int32).at[pos_vir].set(orbitals, mode="drop")
+    return occ_list, vir_list
+
+
+def _occ_vir_lists_np(bits: np.ndarray, n: int, k: int):
+    """(B,) uint32 -> ((B, k), (B, n-k)) ascending orbital index lists."""
+    shifts = np.arange(n, dtype=np.uint32)
+    occ = ((bits[:, None] >> shifts) & 1).astype(np.int8)
+    order = np.argsort(1 - occ, axis=1, kind="stable")
+    return order[:, :k].astype(np.int64), order[:, k:].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Device connection kernel (JAX, float32)
+# ---------------------------------------------------------------------------
+
+def make_connection_fn(tables: SlaterTables):
+    """Build a jitted f(packed (B,2) uint32) -> (conn (B,C,2) uint32, elems (B,C) f32).
+
+    C = tables.n_connections, ordered [singles_a, singles_b, doubles_aa,
+    doubles_bb, doubles_ab].  All connections are valid (no masking needed):
+    particle conservation makes the per-determinant count static.
+    """
+    n = tables.n_orb
+    ka, kb = tables.n_alpha, tables.n_beta
+    h1 = jnp.asarray(tables.h1, jnp.float32)
+    jj = jnp.asarray(tables.jj, jnp.float32)
+    ex = jnp.asarray(tables.ex, jnp.float32)
+    h2f = jnp.asarray(tables.h2.reshape(-1), jnp.float32)
+    sing_a = jnp.asarray(tables.spec_a.singles)
+    sing_b = jnp.asarray(tables.spec_b.singles)
+    dbl_a = jnp.asarray(tables.spec_a.doubles)
+    dbl_b = jnp.asarray(tables.spec_b.doubles)
+    ab = jnp.asarray(tables.ab_grid)
+    one = jnp.uint32(1)
+
+    def h2g(p, q, r, s):
+        idx = ((p * n + q) * n + r) * n + s
+        return h2f[idx]
+
+    def flip(bits, p, q):
+        return bits ^ (one << p.astype(jnp.uint32)) ^ (one << q.astype(jnp.uint32))
+
+    def per_det(pa, pb):
+        occ_a = occupancy(pa, n).astype(jnp.float32)
+        occ_b = occupancy(pb, n).astype(jnp.float32)
+        N = occ_a + occ_b
+        la, va = _occ_vir_lists_jax(pa, n, ka)
+        lb, vb = _occ_vir_lists_jax(pb, n, kb)
+        # effective single-excitation matrices (elementwise-sum form keeps
+        # full f32 accuracy regardless of default matmul precision)
+        coul = (jj * N[None, None, :]).sum(-1)
+        m_a = h1 + coul - (ex * occ_a[None, None, :]).sum(-1)
+        m_b = h1 + coul - (ex * occ_b[None, None, :]).sum(-1)
+
+        # --- singles ---
+        def singles(bits, other_bits, lst, vlst, m, alpha_channel):
+            p = lst[sing_a[:, 0]] if alpha_channel else lst[sing_b[:, 0]]
+            q = vlst[sing_a[:, 1]] if alpha_channel else vlst[sing_b[:, 1]]
+            sign = parity_between(bits, p, q).astype(jnp.float32)
+            elems = m[p, q] * sign
+            nb_ = flip(bits, p, q)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits, nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape), nb_], -1)
+            return conn, elems
+
+        conn_sa, el_sa = singles(pa, pb, la, va, m_a, True)
+        conn_sb, el_sb = singles(pb, pa, lb, vb, m_b, False)
+
+        # --- same-spin doubles ---
+        def doubles_ss(bits, other_bits, lst, vlst, grid, alpha_channel):
+            p = lst[grid[:, 0]]
+            r = lst[grid[:, 1]]
+            q = vlst[grid[:, 2]]
+            s = vlst[grid[:, 3]]
+            s1 = parity_between(bits, p, q)
+            mid = flip(bits, p, q)
+            s2 = parity_between(mid, r, s)
+            sign = (s1 * s2).astype(jnp.float32)
+            elems = (h2g(p, q, r, s) - h2g(p, s, r, q)) * sign
+            nb_ = flip(mid, r, s)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits, nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape), nb_], -1)
+            return conn, elems
+
+        conn_aa, el_aa = doubles_ss(pa, pb, la, va, dbl_a, True)
+        conn_bb, el_bb = doubles_ss(pb, pa, lb, vb, dbl_b, False)
+
+        # --- opposite-spin doubles ---
+        p = la[ab[:, 0]]
+        q = va[ab[:, 1]]
+        r = lb[ab[:, 2]]
+        s = vb[ab[:, 3]]
+        sign = (parity_between(pa, p, q) * parity_between(pb, r, s)
+                ).astype(jnp.float32)
+        el_ab = h2g(p, q, r, s) * sign
+        conn_ab = jnp.stack([flip(pa, p, q), flip(pb, r, s)], -1)
+
+        conn = jnp.concatenate([conn_sa, conn_sb, conn_aa, conn_bb, conn_ab], 0)
+        elems = jnp.concatenate([el_sa, el_sb, el_aa, el_bb, el_ab], 0)
+        return conn, elems
+
+    @jax.jit
+    def connections(packed: jnp.ndarray):
+        return jax.vmap(per_det)(packed[:, 0], packed[:, 1])
+
+    return connections
+
+
+# ---------------------------------------------------------------------------
+# Host connection kernel (NumPy, float64)
+# ---------------------------------------------------------------------------
+
+def connections_batch_np(packed: np.ndarray, tables: SlaterTables
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized float64 connections: (B,2) uint32 -> ((B,C,2), (B,C))."""
+    n, ka, kb = tables.n_orb, tables.n_alpha, tables.n_beta
+    B = packed.shape[0]
+    pa = packed[:, 0].astype(np.uint64)
+    pb = packed[:, 1].astype(np.uint64)
+    shifts = np.arange(n, dtype=np.uint64)
+    occ_a = ((pa[:, None] >> shifts) & 1).astype(np.float64)
+    occ_b = ((pb[:, None] >> shifts) & 1).astype(np.float64)
+    N = occ_a + occ_b
+    la, va = _occ_vir_lists_np(packed[:, 0], n, ka)
+    lb, vb = _occ_vir_lists_np(packed[:, 1], n, kb)
+
+    coul = np.einsum("pqr,br->bpq", tables.jj, N, optimize=True)
+    m_a = tables.h1[None] + coul - np.einsum("pqr,br->bpq", tables.ex, occ_a,
+                                             optimize=True)
+    m_b = tables.h1[None] + coul - np.einsum("pqr,br->bpq", tables.ex, occ_b,
+                                             optimize=True)
+    h2 = tables.h2
+    bidx = np.arange(B)[:, None]
+
+    def flip(bits, p, q):
+        return bits ^ (np.uint64(1) << p.astype(np.uint64)) \
+                    ^ (np.uint64(1) << q.astype(np.uint64))
+
+    out_conn = []
+    out_el = []
+
+    def emit(new_ch, other, elems, alpha_channel):
+        new_ch = new_ch.astype(np.uint32)
+        other = np.broadcast_to(other[:, None], new_ch.shape).astype(np.uint32)
+        pair = (np.stack([new_ch, other], -1) if alpha_channel
+                else np.stack([other, new_ch], -1))
+        out_conn.append(pair)
+        out_el.append(elems)
+
+    # singles
+    for bits, lst, vlst, m, is_a, spec in (
+            (pa, la, va, m_a, True, tables.spec_a),
+            (pb, lb, vb, m_b, False, tables.spec_b)):
+        g = spec.singles
+        p = lst[:, g[:, 0]]
+        q = vlst[:, g[:, 1]]
+        sign = parity_between_np(bits[:, None], p, q)
+        elems = m[bidx, p, q] * sign
+        emit(flip(bits[:, None], p, q), (pb if is_a else pa), elems, is_a)
+
+    # same-spin doubles
+    for bits, lst, vlst, is_a, spec in (
+            (pa, la, va, True, tables.spec_a),
+            (pb, lb, vb, False, tables.spec_b)):
+        g = spec.doubles
+        p = lst[:, g[:, 0]]
+        r = lst[:, g[:, 1]]
+        q = vlst[:, g[:, 2]]
+        s = vlst[:, g[:, 3]]
+        s1 = parity_between_np(bits[:, None], p, q)
+        mid = flip(bits[:, None], p, q)
+        s2 = parity_between_np(mid, r, s)
+        elems = (h2[p, q, r, s] - h2[p, s, r, q]) * (s1 * s2)
+        emit(flip(mid, r, s), (pb if is_a else pa), elems, is_a)
+
+    # opposite-spin doubles
+    g = tables.ab_grid
+    p = la[:, g[:, 0]]
+    q = va[:, g[:, 1]]
+    r = lb[:, g[:, 2]]
+    s = vb[:, g[:, 3]]
+    sign = (parity_between_np(pa[:, None], p, q)
+            * parity_between_np(pb[:, None], r, s))
+    elems = h2[p, q, r, s] * sign
+    na = flip(pa[:, None], p, q).astype(np.uint32)
+    nbv = flip(pb[:, None], r, s).astype(np.uint32)
+    out_conn.append(np.stack([na, nbv], -1))
+    out_el.append(elems)
+
+    conn = np.concatenate(out_conn, axis=1)
+    elems = np.concatenate(out_el, axis=1)
+    return conn, elems
