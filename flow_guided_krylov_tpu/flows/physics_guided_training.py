@@ -1,0 +1,331 @@
+"""Physics-guided NF-NQS co-training (Stage 1), fully jitted.
+
+Behavioral counterpart of the reference trainer
+(``/root/reference/src/flows/physics_guided_training.py:92-641``) —
+same objectives, schedules and convergence rules — rebuilt as a single
+jitted TPU step:
+
+* flow sampling, on-device dedup (lexicographic sort + compaction),
+  static-shape connection enumeration, chunked NQS evaluation, local
+  energies, both losses and both optimizer updates run in ONE compiled
+  XLA program per epoch.  The reference's per-epoch GPU->CPU->GPU round
+  trip through Python connection loops (``molecular.py:194-327``) and its
+  ``ConnectionCache`` are gone by construction (SURVEY.md §3.2).
+* objectives: flow loss = w_t * CE(NQS||flow) + w_p * E_flow[E_loc - E]
+  - w_e * H(flow), scaled by 1/(|E|+1)
+  (``physics_guided_training.py:459-521``); NQS loss = REINFORCE with
+  baseline (``:523-547``).
+* temperature annealing 1.0 -> 0.1 over ``temperature_decay_epochs``
+  (``:181-187``); convergence when unique_ratio < threshold after
+  min_epochs (``:224-231``).
+* accumulated-basis dedup/pruning happens on host between steps (small
+  uint64 key arrays), with periodic basis diagonalization
+  (``:549-641``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..hamiltonians.molecular import MolecularHamiltonian
+from ..ops.bits import unpack_device
+from ..ops.slater import diagonal_batch, make_connection_fn
+
+__all__ = ["PhysicsGuidedConfig", "PhysicsGuidedFlowTrainer"]
+
+
+@dataclass
+class PhysicsGuidedConfig:
+    """Stage-1 hyperparameters (reference ``physics_guided_training.py:40-89``)."""
+    num_epochs: int = 400
+    min_epochs: int = 100
+    samples_per_batch: int = 2000
+    teacher_weight: float = 0.5
+    physics_weight: float = 0.4
+    entropy_weight: float = 0.1
+    flow_lr: float = 5e-4
+    nqs_lr: float = 1e-3
+    grad_clip: float = 1.0
+    weight_decay: float = 0.01
+    initial_temperature: float = 1.0
+    final_temperature: float = 0.1
+    temperature_decay_epochs: int = 200
+    convergence_threshold: float = 0.20
+    ema_decay: float = 0.9
+    max_accumulated_basis: int = 4096
+    use_accumulated_energy: bool = True
+    accumulated_energy_interval: int = 50
+    nqs_chunk_size: int = 16384
+    seed: int = 0
+    verbose: bool = True
+
+
+class PhysicsGuidedFlowTrainer:
+    """Co-trains a particle-conserving flow and an NQS on one Hamiltonian."""
+
+    def __init__(self, hamiltonian: MolecularHamiltonian, flow, nqs,
+                 config: Optional[PhysicsGuidedConfig] = None):
+        self.h = hamiltonian
+        self.flow = flow
+        self.nqs = nqs
+        self.config = config or PhysicsGuidedConfig()
+        c = self.config
+
+        self.key = jax.random.PRNGKey(c.seed)
+        self.key, kf, kn = jax.random.split(self.key, 3)
+        n_sites = 2 * hamiltonian.n_orbitals
+        dummy = jnp.zeros((2, n_sites), jnp.float32)
+        self.flow_params = flow.init(kf, kn, 2, jnp.float32(1.0),
+                                     method=flow.sample)
+        self.nqs_params = nqs.init(kn, dummy)
+
+        flow_sched = optax.cosine_decay_schedule(c.flow_lr, c.num_epochs)
+        nqs_sched = optax.cosine_decay_schedule(c.nqs_lr, c.num_epochs)
+        self.flow_opt = optax.chain(
+            optax.clip_by_global_norm(c.grad_clip),
+            optax.adamw(flow_sched, weight_decay=c.weight_decay))
+        self.nqs_opt = optax.chain(
+            optax.clip_by_global_norm(c.grad_clip),
+            optax.adamw(nqs_sched, weight_decay=c.weight_decay))
+        self.flow_opt_state = self.flow_opt.init(self.flow_params)
+        self.nqs_opt_state = self.nqs_opt.init(self.nqs_params)
+
+        self.accumulated_basis: Optional[np.ndarray] = None  # (M, 2) uint32
+        self._acc_keys: Optional[np.ndarray] = None
+        self.energy_ema: Optional[float] = None
+        self.history: Dict[str, list] = {
+            "energies": [], "accumulated_energies": [], "teacher_losses": [],
+            "physics_losses": [], "entropy_values": [], "unique_ratios": [],
+            "basis_sizes": [], "epoch_times": [],
+        }
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    # Jitted step
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        c = self.config
+        h = self.h
+        n_orb = h.n_orbitals
+        n_sites = 2 * n_orb
+        B = c.samples_per_batch
+        conn_fn = make_connection_fn(h.tables)
+        hf = jnp.asarray(h.get_hf_state())
+        flow, nqs = self.flow, self.nqs
+
+        def nqs_logamp_chunked(nqs_params, occ_flat):
+            """Gradient-free chunked evaluation for connection amplitudes."""
+            total = occ_flat.shape[0]
+            chunk = min(c.nqs_chunk_size, total)
+            n_chunks = -(-total // chunk)
+            pad = n_chunks * chunk - total
+            occ_p = jnp.pad(occ_flat, ((0, pad), (0, 0)))
+            occ_p = occ_p.reshape(n_chunks, chunk, n_sites)
+            la = jax.lax.map(lambda o: nqs.apply(nqs_params, o), occ_p)
+            return la.reshape(-1)[:total]
+
+        def unique_compact(packed):
+            """Sort lexicographically, compact uniques to the front.
+
+            Returns (unique_packed (B,2) padded with HF, n_unique)."""
+            a, b = lax_sorted = jax.lax.sort(
+                (packed[:, 0], packed[:, 1]), num_keys=2)
+            first = jnp.concatenate([
+                jnp.ones((1,), bool),
+                (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            pos = jnp.where(first, jnp.cumsum(first) - 1, B)
+            buf = jnp.broadcast_to(hf[None, :], (B, 2)).astype(jnp.uint32)
+            buf = buf.at[pos].set(jnp.stack([a, b], -1), mode="drop")
+            return buf, jnp.sum(first)
+
+        def local_energies(nqs_params, packed_u, la_x):
+            diag = diagonal_batch(packed_u, h.tables)
+            conn, elems = conn_fn(packed_u)
+            occ_y = unpack_device(conn.reshape(-1, 2), n_orb)
+            la_y = nqs_logamp_chunked(nqs_params, occ_y)
+            la_y = la_y.reshape(elems.shape)
+            ratios = jnp.exp(la_y - la_x[:, None])
+            return diag + jnp.sum(elems * ratios, axis=-1)
+
+        @jax.jit
+        def step(flow_params, nqs_params, flow_opt_state, nqs_opt_state,
+                 key, temperature):
+            k_samp, = jax.random.split(key, 1)
+            configs, _ = flow.apply(flow_params, k_samp, B, temperature,
+                                    method=flow.sample)
+            occ_hard = jnp.round(jax.lax.stop_gradient(configs))
+            alpha_bits = jnp.sum(
+                occ_hard[:, :n_orb].astype(jnp.uint32)
+                * (jnp.uint32(1) << jnp.arange(n_orb, dtype=jnp.uint32)), -1)
+            beta_bits = jnp.sum(
+                occ_hard[:, n_orb:].astype(jnp.uint32)
+                * (jnp.uint32(1) << jnp.arange(n_orb, dtype=jnp.uint32)), -1)
+            packed = jnp.stack([alpha_bits, beta_bits], -1)
+            packed_u, n_unique = unique_compact(packed)
+            valid = jnp.arange(B) < n_unique
+            occ_u = unpack_device(packed_u, n_orb)
+
+            # local energies (no gradient through connections)
+            la_x_sg = nqs.apply(nqs_params, occ_u)
+            e_loc = jax.lax.stop_gradient(
+                local_energies(nqs_params, packed_u, la_x_sg))
+            e_loc = jnp.where(valid, e_loc, 0.0)
+
+            # NQS probabilities over the unique batch
+            logp_nqs = jnp.where(valid, 2.0 * la_x_sg, -jnp.inf)
+            p_nqs = jax.lax.stop_gradient(
+                jax.nn.softmax(logp_nqs))
+            energy = jnp.sum(e_loc * p_nqs)
+
+            def flow_loss_fn(fp):
+                lp = flow.apply(fp, occ_u, method=flow.log_prob)
+                lp = jnp.where(valid, lp, -jnp.inf)
+                log_flow = jax.nn.log_softmax(lp)          # batch-normalized
+                log_flow = jnp.where(valid, log_flow, 0.0)
+                p_flow = jnp.exp(log_flow) * valid
+                teacher = -jnp.sum(p_nqs * log_flow)
+                physics = jnp.sum(p_flow * (e_loc - energy))
+                entropy = -jnp.sum(p_flow * log_flow)
+                total = (c.teacher_weight * teacher
+                         + c.physics_weight * physics
+                         - c.entropy_weight * entropy)
+                total = total / (jnp.abs(energy) + 1.0)
+                return total, (teacher, physics, entropy)
+
+            def nqs_loss_fn(np_):
+                la = nqs.apply(np_, occ_u)
+                centered = e_loc - energy
+                return jnp.sum(centered * (2.0 * la) * p_nqs)
+
+            (f_loss, (teacher, physics, entropy)), f_grads = \
+                jax.value_and_grad(flow_loss_fn, has_aux=True)(flow_params)
+            n_grads = jax.grad(nqs_loss_fn)(nqs_params)
+
+            f_updates, flow_opt_state = self.flow_opt.update(
+                f_grads, flow_opt_state, flow_params)
+            flow_params = optax.apply_updates(flow_params, f_updates)
+            n_updates, nqs_opt_state = self.nqs_opt.update(
+                n_grads, nqs_opt_state, nqs_params)
+            nqs_params = optax.apply_updates(nqs_params, n_updates)
+
+            metrics = {
+                "energy": energy,
+                "teacher_loss": teacher,
+                "physics_loss": physics,
+                "entropy": entropy,
+                "unique_ratio": n_unique / B,
+            }
+            return (flow_params, nqs_params, flow_opt_state, nqs_opt_state,
+                    packed_u, n_unique, metrics)
+
+        return step
+
+    # ------------------------------------------------------------------
+    # Host-side accumulation
+    # ------------------------------------------------------------------
+
+    def _update_accumulated_basis(self, packed_u: np.ndarray, n_unique: int):
+        """Union-dedup new configs; random prune at cap
+        (reference ``physics_guided_training.py:549-606``)."""
+        new = packed_u[:n_unique]
+        new_keys = self.h.keys(new)
+        if self._acc_keys is None:
+            uk, idx = np.unique(new_keys, return_index=True)
+            self._acc_keys = uk
+            self.accumulated_basis = new[idx]
+        else:
+            mask = ~np.isin(new_keys, self._acc_keys)
+            if mask.any():
+                add = new[mask]
+                add_keys = new_keys[mask]
+                add_keys, idx = np.unique(add_keys, return_index=True)
+                self.accumulated_basis = np.concatenate(
+                    [self.accumulated_basis, add[idx]])
+                self._acc_keys = np.concatenate([self._acc_keys, add_keys])
+                order = np.argsort(self._acc_keys)
+                self._acc_keys = self._acc_keys[order]
+                self.accumulated_basis = self.accumulated_basis[order]
+        cap = self.config.max_accumulated_basis
+        if len(self.accumulated_basis) > cap:
+            rng = np.random.default_rng(len(self.accumulated_basis))
+            keep = rng.permutation(len(self.accumulated_basis))[:cap]
+            keep.sort()
+            self.accumulated_basis = self.accumulated_basis[keep]
+            self._acc_keys = self._acc_keys[keep]
+
+    def _accumulated_energy(self) -> float:
+        """Ground-state energy in the accumulated basis
+        (``physics_guided_training.py:608-641``)."""
+        if self.accumulated_basis is None or not len(self.accumulated_basis):
+            return float("inf")
+        vals, _ = self.h.exact_ground_state(self.accumulated_basis)
+        return float(vals[0])
+
+    # ------------------------------------------------------------------
+    # Training loop
+    # ------------------------------------------------------------------
+
+    def temperature_at(self, epoch: int) -> float:
+        c = self.config
+        progress = min(1.0, epoch / max(1, c.temperature_decay_epochs))
+        return (c.initial_temperature
+                + progress * (c.final_temperature - c.initial_temperature))
+
+    def train(self) -> Dict[str, list]:
+        c = self.config
+        for epoch in range(c.num_epochs):
+            t0 = time.perf_counter()
+            self.key, k = jax.random.split(self.key)
+            temp = jnp.float32(self.temperature_at(epoch))
+            (self.flow_params, self.nqs_params, self.flow_opt_state,
+             self.nqs_opt_state, packed_u, n_unique, metrics) = self._step(
+                self.flow_params, self.nqs_params, self.flow_opt_state,
+                self.nqs_opt_state, k, temp)
+
+            n_unique = int(n_unique)
+            packed_u = np.asarray(packed_u)
+            self._update_accumulated_basis(packed_u, n_unique)
+
+            m = {k_: float(v) for k_, v in metrics.items()}
+            if self.energy_ema is None:
+                self.energy_ema = m["energy"]
+            else:
+                self.energy_ema = (c.ema_decay * self.energy_ema
+                                   + (1 - c.ema_decay) * m["energy"])
+            self.history["energies"].append(m["energy"])
+            self.history["teacher_losses"].append(m["teacher_loss"])
+            self.history["physics_losses"].append(m["physics_loss"])
+            self.history["entropy_values"].append(m["entropy"])
+            self.history["unique_ratios"].append(m["unique_ratio"])
+            self.history["basis_sizes"].append(
+                len(self.accumulated_basis)
+                if self.accumulated_basis is not None else 0)
+            self.history["epoch_times"].append(time.perf_counter() - t0)
+
+            if (c.use_accumulated_energy
+                    and epoch % c.accumulated_energy_interval == 0):
+                self.history["accumulated_energies"].append(
+                    self._accumulated_energy())
+
+            if c.verbose and (epoch % 25 == 0 or epoch == c.num_epochs - 1):
+                print(f"  epoch {epoch:4d}  E={m['energy']:.6f} "
+                      f"EMA={self.energy_ema:.6f} "
+                      f"unique={m['unique_ratio']:.2f} "
+                      f"basis={self.history['basis_sizes'][-1]}")
+
+            if epoch >= c.min_epochs and \
+                    m["unique_ratio"] < c.convergence_threshold:
+                if c.verbose:
+                    print(f"  converged at epoch {epoch}: "
+                          f"unique_ratio={m['unique_ratio']:.3f}")
+                break
+        return self.history
