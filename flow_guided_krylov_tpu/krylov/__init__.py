@@ -1,0 +1,14 @@
+"""Krylov solvers: SKQD, Selected-CI expansion, circuit basis sampling."""
+
+from .residual_expansion import (ResidualBasedExpander,
+                                 ResidualExpansionConfig, SelectedCIExpander,
+                                 iterative_residual_expansion)
+from .skqd import (FlowGuidedSKQD, SampleBasedKrylovDiagonalization,
+                   SKQDConfig, lanczos_expm)
+
+__all__ = [
+    "ResidualExpansionConfig", "SelectedCIExpander", "ResidualBasedExpander",
+    "iterative_residual_expansion",
+    "SKQDConfig", "SampleBasedKrylovDiagonalization", "FlowGuidedSKQD",
+    "lanczos_expm",
+]

@@ -1,0 +1,401 @@
+"""Sample-based Krylov Quantum Diagonalization (Stage 4), TPU-native.
+
+Counterpart of ``/root/reference/src/krylov/skqd.py``:
+
+* :class:`SampleBasedKrylovDiagonalization` — classical SKQD simulator.
+  For molecular Hamiltonians the time evolution runs in the
+  particle-conserving subspace (the reference's dimensionality-reduction
+  trick, ``skqd.py:135-177``: NH3 65,536 -> 3,136; N2 1,048,576 -> 14,400).
+* :class:`FlowGuidedSKQD` — combines the normalizing-flow basis with
+  Krylov-sampled bases and tracks variational stability
+  (``skqd.py:891-1059``).
+
+TPU-first design (SURVEY.md §7.1 item 4): the reference evolves with
+scipy ``expm_multiply`` on the CPU (``skqd.py:255,270-293``); here the
+default propagator is a jitted on-device Lanczos approximation of
+``exp(-i dt H) |psi>`` over a dense (or matvec-abstracted) subspace
+Hamiltonian, with measurement sampling via ``jax.random.categorical`` +
+bincount on device.  A scipy path remains as the float64 reference
+implementation (``use_device_evolution=False``) and is what the tests
+validate the Lanczos propagator against.
+
+Eigensolve guardrails ported as explicit policies (``skqd.py:683-843``):
+Hermitization, diagonal regularization, condition-number check with SVD
+fallback, dense/sparse routing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax
+import jax.numpy as jnp
+
+from ..hamiltonians.base import Hamiltonian
+
+__all__ = ["SKQDConfig", "SampleBasedKrylovDiagonalization",
+           "FlowGuidedSKQD", "lanczos_expm"]
+
+
+@dataclass
+class SKQDConfig:
+    """SKQD knobs (reference ``skqd.py:48-72``)."""
+    max_krylov_dim: int = 12
+    time_step: float = 0.1
+    num_trotter_steps: int = 8          # scipy path substeps
+    shots_per_krylov: int = 100_000
+    use_cumulative_basis: bool = True
+    num_eigenvalues: int = 2
+    regularization: float = 1e-8
+    use_device_evolution: bool = True
+    lanczos_dim: int = 30
+    seed: int = 0
+    verbose: bool = False
+
+
+# ---------------------------------------------------------------------------
+# On-device Lanczos propagator
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("m",))
+def lanczos_expm(h_dense: jnp.ndarray, psi_re: jnp.ndarray,
+                 psi_im: jnp.ndarray, dt: jnp.ndarray, m: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """exp(-i dt H) |psi> via an m-step Lanczos Krylov subspace.
+
+    H is real symmetric (dense, f32 on the MXU); psi is complex, carried
+    as (re, im) f32 pairs.  alpha/beta are real for real-symmetric H even
+    with complex vectors, so T is a real tridiagonal; the small (m, m)
+    exponential is computed by eigh in-graph.
+    """
+    def mv(re, im):
+        pr = jnp.dot(h_dense, re, precision=jax.lax.Precision.HIGHEST)
+        pi = jnp.dot(h_dense, im, precision=jax.lax.Precision.HIGHEST)
+        return pr, pi
+
+    n = psi_re.shape[0]
+    norm0 = jnp.sqrt(jnp.sum(psi_re ** 2 + psi_im ** 2))
+    vr = psi_re / norm0
+    vi = psi_im / norm0
+
+    V_r = jnp.zeros((m, n), jnp.float32).at[0].set(vr)
+    V_i = jnp.zeros((m, n), jnp.float32).at[0].set(vi)
+    alphas = jnp.zeros((m,), jnp.float32)
+    betas = jnp.zeros((m,), jnp.float32)  # betas[j] couples j and j+1
+
+    def body(j, carry):
+        V_r, V_i, alphas, betas = carry
+        vr_j = V_r[j]
+        vi_j = V_i[j]
+        wr, wi = mv(vr_j, vi_j)
+        alpha = jnp.sum(wr * vr_j + wi * vi_j)
+        wr = wr - alpha * vr_j
+        wi = wi - alpha * vi_j
+        beta_prev = jnp.where(j > 0, betas[jnp.maximum(j - 1, 0)], 0.0)
+        wr = wr - beta_prev * V_r[jnp.maximum(j - 1, 0)] * (j > 0)
+        wi = wi - beta_prev * V_i[jnp.maximum(j - 1, 0)] * (j > 0)
+        # full reorthogonalization against all previous vectors (m is small)
+        proj_r = V_r @ wr + V_i @ wi          # Re<v_k|w>
+        proj_i = V_r @ wi - V_i @ wr          # Im<v_k|w>
+        mask = (jnp.arange(m) <= j).astype(jnp.float32)
+        proj_r = proj_r * mask
+        proj_i = proj_i * mask
+        wr = wr - (proj_r @ V_r - proj_i @ V_i)
+        wi = wi - (proj_r @ V_i + proj_i @ V_r)
+        beta = jnp.sqrt(jnp.sum(wr ** 2 + wi ** 2))
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta)
+        # Lanczos breakdown (invariant subspace): zero out later vectors so
+        # T decouples and the propagator stays exact on the leading block.
+        inv = jnp.where(beta > 1e-7, 1.0 / jnp.maximum(beta, 1e-30), 0.0)
+        V_r = V_r.at[j + 1].set(wr * inv, mode="drop")
+        V_i = V_i.at[j + 1].set(wi * inv, mode="drop")
+        return V_r, V_i, alphas, betas
+
+    V_r, V_i, alphas, betas = jax.lax.fori_loop(
+        0, m, body, (V_r, V_i, alphas, betas))
+
+    # T = tridiag(alphas, betas) in f32 -> small dense eigh
+    T = (jnp.diag(alphas)
+         + jnp.diag(betas[:m - 1], 1)
+         + jnp.diag(betas[:m - 1], -1))
+    evals, U = jnp.linalg.eigh(T)
+    phase = jnp.exp(-1j * dt.astype(jnp.complex64) * evals.astype(jnp.complex64))
+    e1 = U[0, :].astype(jnp.complex64)
+    coeff = (U.astype(jnp.complex64) * phase[None, :]) @ jnp.conj(e1)
+    cr = jnp.real(coeff).astype(jnp.float32)
+    ci = jnp.imag(coeff).astype(jnp.float32)
+    out_r = (cr @ V_r - ci @ V_i) * norm0
+    out_i = (cr @ V_i + ci @ V_r) * norm0
+    return out_r, out_i
+
+
+@partial(jax.jit, static_argnames=("shots", "n"))
+def _sample_counts_device(key, psi_re, psi_im, shots: int, n: int):
+    logp = jnp.log(psi_re ** 2 + psi_im ** 2 + 1e-30)
+    idx = jax.random.categorical(key, logp, shape=(shots,))
+    return jnp.bincount(idx, length=n)
+
+
+# ---------------------------------------------------------------------------
+# SKQD
+# ---------------------------------------------------------------------------
+
+class SampleBasedKrylovDiagonalization:
+    """Classical SKQD in the particle-conserving subspace."""
+
+    def __init__(self, hamiltonian: Hamiltonian,
+                 config: Optional[SKQDConfig] = None,
+                 initial_state: Optional[np.ndarray] = None):
+        self.h = hamiltonian
+        self.config = config or SKQDConfig()
+        self.is_molecular = hasattr(hamiltonian, "n_alpha")
+
+        # subspace setup (reference ``skqd.py:135-177``)
+        if self.is_molecular:
+            self.subspace = hamiltonian.enumerate_basis()      # (N, 2) uint32
+        else:
+            n = hamiltonian.n_sites
+            states = np.arange(1 << n, dtype=np.uint32)
+            self.subspace = states[:, None]                    # (N, 1)
+        self.dim = len(self.subspace)
+        self._keys = self.h.keys(self.subspace)
+        self._order = np.argsort(self._keys)
+        self._sorted_keys = self._keys[self._order]
+
+        # initial state: HF for molecules, Neel otherwise (``skqd.py:114-120``)
+        if initial_state is None:
+            if self.is_molecular:
+                initial_state = hamiltonian.get_hf_state()
+            else:
+                n = hamiltonian.n_sites
+                neel = 0
+                for i in range(0, n, 2):
+                    neel |= (1 << i)
+                initial_state = np.array([neel], dtype=np.uint32)
+        self.initial_state = np.asarray(initial_state, np.uint32)
+
+        self._h_sparse: Optional[sp.csr_matrix] = None
+        self._h_dense_dev = None
+        self.key = jax.random.PRNGKey(self.config.seed)
+
+    # ------------------------------------------------------------------
+
+    def _index_of(self, packed: np.ndarray) -> np.ndarray:
+        keys = self.h.keys(np.atleast_2d(packed))
+        pos = np.searchsorted(self._sorted_keys, keys)
+        pos = np.clip(pos, 0, self.dim - 1)
+        if not (self._sorted_keys[pos] == keys).all():
+            raise ValueError("state outside the particle-conserving subspace")
+        return self._order[pos]
+
+    @property
+    def subspace_hamiltonian(self) -> sp.csr_matrix:
+        """Sparse subspace H, built once (reference ``skqd.py:374-419``)."""
+        if self._h_sparse is None:
+            self._h_sparse = self.h.to_sparse(self.subspace)
+        return self._h_sparse
+
+    def _device_hamiltonian(self):
+        if self._h_dense_dev is None:
+            self._h_dense_dev = jnp.asarray(
+                self.subspace_hamiltonian.toarray(), jnp.float32)
+        return self._h_dense_dev
+
+    # ------------------------------------------------------------------
+    # Time evolution
+    # ------------------------------------------------------------------
+
+    def _evolve_scipy(self, psi: np.ndarray) -> np.ndarray:
+        """Float64 reference propagator (scipy expm_multiply semantics,
+        ``skqd.py:241-296``)."""
+        H = self.subspace_hamiltonian
+        dt = self.config.time_step
+        return spla.expm_multiply(-1j * dt * H, psi)
+
+    def _evolve_device(self, psi: np.ndarray) -> np.ndarray:
+        H = self._device_hamiltonian()
+        re = jnp.asarray(np.real(psi), jnp.float32)
+        im = jnp.asarray(np.imag(psi), jnp.float32)
+        m = min(self.config.lanczos_dim, self.dim)
+        out_r, out_i = lanczos_expm(H, re, im,
+                                    jnp.float32(self.config.time_step), m)
+        return np.asarray(out_r) + 1j * np.asarray(out_i)
+
+    def evolve(self, psi: np.ndarray) -> np.ndarray:
+        if self.config.use_device_evolution and self.dim > 1:
+            return self._evolve_device(psi)
+        return self._evolve_scipy(psi)
+
+    # ------------------------------------------------------------------
+    # Sampling
+    # ------------------------------------------------------------------
+
+    def sample_state(self, psi: np.ndarray, shots: int) -> Dict[int, int]:
+        """Measurement counts {subspace_index: count}
+        (reference ``skqd.py:538-579``)."""
+        self.key, k = jax.random.split(self.key)
+        counts = np.asarray(_sample_counts_device(
+            k, jnp.asarray(np.real(psi), jnp.float32),
+            jnp.asarray(np.imag(psi), jnp.float32), shots, self.dim))
+        nz = np.nonzero(counts)[0]
+        return {int(i): int(counts[i]) for i in nz}
+
+    def generate_krylov_samples(self) -> List[Dict[int, int]]:
+        """Sample at every Krylov step k=0..K-1, evolving in between
+        (reference ``skqd.py:581-635``)."""
+        c = self.config
+        psi = np.zeros(self.dim, dtype=np.complex128)
+        psi[self._index_of(self.initial_state)[0]] = 1.0
+        samples = []
+        for k in range(c.max_krylov_dim):
+            samples.append(self.sample_state(psi, c.shots_per_krylov))
+            if k < c.max_krylov_dim - 1:
+                psi = self.evolve(psi)
+                psi = psi / np.linalg.norm(psi)
+        return samples
+
+    def build_cumulative_basis(self, samples: List[Dict[int, int]]
+                               ) -> List[np.ndarray]:
+        """Running union of sampled configs per Krylov dimension
+        (reference ``skqd.py:637-656``)."""
+        seen: Dict[int, int] = {}
+        bases = []
+        for counts in samples:
+            for idx, ct in counts.items():
+                seen[idx] = seen.get(idx, 0) + ct
+            idxs = np.fromiter(seen.keys(), dtype=np.int64)
+            bases.append(self.subspace[np.sort(idxs)])
+        return bases
+
+    # ------------------------------------------------------------------
+    # Projected eigensolve with stability guardrails
+    # ------------------------------------------------------------------
+
+    def compute_ground_state_energy(self, basis: np.ndarray,
+                                    return_vector: bool = False):
+        """Project H on ``basis`` and diagonalize with the reference's
+        guardrails (``skqd.py:683-843``): Hermitize, regularize, condition
+        check -> SVD fallback, dense/sparse routing."""
+        basis = np.atleast_2d(np.asarray(basis, np.uint32))
+        nb = len(basis)
+        reg = self.config.regularization
+
+        if nb > 2048:
+            M = self.h.to_sparse(basis)
+            M = (M + M.T) * 0.5 + reg * sp.eye(nb)
+            k = min(self.config.num_eigenvalues, nb - 1)
+            try:
+                vals, vecs = spla.eigsh(M, k=max(k, 1), which="SA")
+            except spla.ArpackNoConvergence:
+                H = M.toarray()
+                vals, vecs = np.linalg.eigh(H)
+            idx = np.argsort(vals)
+            e = float(vals[idx][0] - reg)
+            if return_vector:
+                return e, vecs[:, idx][:, 0]
+            return e
+
+        H = self.h.matrix_elements(basis, basis)
+        H = 0.5 * (H + H.T) + reg * np.eye(nb)
+        cond = np.linalg.cond(H) if nb > 1 else 1.0
+        if not np.isfinite(cond) or cond > 1e12:
+            # SVD fallback with singular-value clamping (``skqd.py:809-843``)
+            u, s, vt = np.linalg.svd(H)
+            s = np.maximum(s, 1e-10)
+            H = u @ np.diag(s) @ vt
+            H = 0.5 * (H + H.T)
+        vals, vecs = np.linalg.eigh(H)
+        e = float(vals[0] - reg)
+        if return_vector:
+            return e, vecs[:, 0]
+        return e
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> Dict:
+        """Energies vs Krylov dimension on cumulative bases
+        (reference ``skqd.py:845-888``)."""
+        samples = self.generate_krylov_samples()
+        bases = self.build_cumulative_basis(samples)
+        energies = [self.compute_ground_state_energy(b) for b in bases]
+        return {
+            "energies": energies,
+            "basis_sizes": [len(b) for b in bases],
+            "bases": bases,
+            "samples": samples,
+            "final_energy": energies[-1] if energies else np.nan,
+        }
+
+
+class FlowGuidedSKQD(SampleBasedKrylovDiagonalization):
+    """SKQD seeded/combined with a normalizing-flow-discovered basis
+    (reference ``skqd.py:891-1059``)."""
+
+    def __init__(self, hamiltonian: Hamiltonian, nf_basis: np.ndarray,
+                 config: Optional[SKQDConfig] = None,
+                 initial_state: Optional[np.ndarray] = None):
+        super().__init__(hamiltonian, config, initial_state)
+        self.nf_basis = np.atleast_2d(np.asarray(nf_basis, np.uint32))
+
+    def get_combined_basis(self, krylov_basis: np.ndarray) -> np.ndarray:
+        """unique(NF union Krylov) (``skqd.py:914-944``)."""
+        both = np.concatenate([self.nf_basis, krylov_basis], axis=0)
+        keys = self.h.keys(both)
+        _, idx = np.unique(keys, return_index=True)
+        return both[np.sort(idx)]
+
+    def run_with_nf(self) -> Dict:
+        """Per-k Krylov-only vs combined energies with variational
+        monotonicity checks and best-stable tracking (``skqd.py:946-1059``)."""
+        c = self.config
+        nf_energy = self.compute_ground_state_energy(self.nf_basis)
+
+        samples = self.generate_krylov_samples()
+        bases = self.build_cumulative_basis(samples)
+
+        krylov_energies: List[float] = []
+        combined_energies: List[float] = []
+        combined_sizes: List[int] = []
+        instabilities: List[int] = []
+        best_stable = nf_energy
+        prev_combined = nf_energy
+
+        for k, kb in enumerate(bases):
+            e_k = self.compute_ground_state_energy(kb)
+            combined = self.get_combined_basis(kb)
+            e_c = self.compute_ground_state_energy(combined)
+            krylov_energies.append(e_k)
+            combined_energies.append(e_c)
+            combined_sizes.append(len(combined))
+
+            rise = e_c - prev_combined
+            jump = abs(e_c - prev_combined)
+            stable = not (rise > 1e-3 or jump > 1.0)
+            if not stable:
+                instabilities.append(k)
+                if c.verbose:
+                    print(f"  [skqd] instability at k={k}: "
+                          f"E_combined={e_c:.6f} (prev {prev_combined:.6f})")
+            else:
+                best_stable = min(best_stable, e_c)
+            prev_combined = e_c
+
+        return {
+            "nf_only_energy": nf_energy,
+            "nf_basis_size": int(len(self.nf_basis)),
+            "krylov_energies": krylov_energies,
+            "combined_energies": combined_energies,
+            "combined_sizes": combined_sizes,
+            "krylov_basis_sizes": [len(b) for b in bases],
+            "krylov_bases": bases,
+            "instabilities": instabilities,
+            "best_stable_energy": float(best_stable),
+            "final_energy": float(best_stable),
+        }

@@ -1,0 +1,485 @@
+"""Four-stage Flow-Guided Krylov pipeline (orchestration API).
+
+Counterpart of ``/root/reference/src/pipeline.py``: the same public surface
+(``PipelineConfig`` field names, ``FlowGuidedKrylovPipeline`` stage methods,
+``run_molecular_benchmark``, results-dict keys) driving the TPU-native
+layers built in this package:
+
+  Stage 1  jitted NF-NQS co-training           (flows/physics_guided_training)
+  Stage 2  diversity selection                 (postprocessing/diversity_selection)
+  Stage 3  PT2 Selected-CI expansion           (krylov/residual_expansion)
+  Stage 4  SKQD refinement + combination       (krylov/skqd)
+
+Numerical-stability policies carried over from the reference: stage-3
+early stopping at <0.05 mHa improvement with patience 2 and best-basis
+tracking under the variational principle (``pipeline.py:494-596``);
+stage-4 skip heuristics (``pipeline.py:645-697``) and SKQD result
+validation rejecting energies below exact - 1 mHa (``pipeline.py:716-746``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .flows.particle_conserving import (ParticleConservingFlow,
+                                        verify_particle_conservation)
+from .flows.physics_guided_training import (PhysicsGuidedConfig,
+                                            PhysicsGuidedFlowTrainer)
+from .hamiltonians.molecular import MOLECULE_FACTORIES, MolecularHamiltonian
+from .krylov.residual_expansion import (ResidualExpansionConfig,
+                                        SelectedCIExpander)
+from .krylov.skqd import FlowGuidedSKQD, SKQDConfig
+from .models.dense import DenseNQS
+from .postprocessing.diversity_selection import (DiversityConfig,
+                                                 DiversitySelector)
+
+__all__ = ["PipelineConfig", "FlowGuidedKrylovPipeline",
+           "run_molecular_benchmark", "EnhancedFlowKrylovPipeline",
+           "EnhancedPipelineConfig"]
+
+MHA = 1e-3
+CHEMICAL_ACCURACY = 1.6e-3  # 1 kcal/mol in Hartree
+
+
+@dataclass
+class PipelineConfig:
+    """Pipeline knobs; field names match the reference
+    (``pipeline.py:114-177``) since they are part of the compat contract."""
+
+    # Flow type
+    use_particle_conserving_flow: bool = True
+
+    # NF-NQS architecture
+    nf_hidden_dims: list = field(default_factory=lambda: [256, 256])
+    nqs_hidden_dims: list = field(default_factory=lambda: [256, 256, 256, 256])
+
+    # Training
+    samples_per_batch: int = 2000
+    num_batches: int = 1
+    max_epochs: int = 400
+    min_epochs: int = 100
+    convergence_threshold: float = 0.20
+
+    # Physics-guided loss weights
+    teacher_weight: float = 0.5
+    physics_weight: float = 0.4
+    entropy_weight: float = 0.1
+
+    # Learning rates
+    nf_lr: float = 5e-4
+    nqs_lr: float = 1e-3
+
+    # Basis management
+    max_accumulated_basis: int = 4096
+
+    # Diversity selection
+    use_diversity_selection: bool = True
+    max_diverse_configs: int = 2048
+    rank_2_fraction: float = 0.50
+
+    # Residual expansion
+    use_residual_expansion: bool = True
+    residual_iterations: int = 8
+    residual_configs_per_iter: int = 150
+    residual_threshold: float = 1e-6
+    use_perturbative_selection: bool = True
+
+    # SKQD
+    max_krylov_dim: int = 8
+    time_step: float = 0.1
+    shots_per_krylov: int = 50_000
+    skqd_regularization: float = 1e-8
+    skip_skqd: bool = False
+
+    # Training mode
+    use_local_energy: bool = True
+    use_ci_seeding: bool = False
+
+    # Eigensolver
+    use_davidson: bool = True
+    davidson_threshold: int = 500
+
+    # Misc
+    seed: int = 0
+    verbose: bool = True
+
+    def adapt_to_system_size(self, n_valid_configs: int) -> "PipelineConfig":
+        """Tiered rescaling by configuration-space size
+        (reference ``pipeline.py:179-260``; same tiers/intent, shared caps)."""
+        if n_valid_configs <= 1000:
+            tier = "small"
+            self.max_accumulated_basis = max(self.max_accumulated_basis,
+                                             n_valid_configs)
+            self.max_diverse_configs = min(n_valid_configs,
+                                           self.max_diverse_configs)
+        elif n_valid_configs <= 5000:
+            tier = "medium"
+            self.max_accumulated_basis = min(n_valid_configs, 8192)
+            self.max_diverse_configs = min(n_valid_configs, 4096)
+            self.residual_iterations = max(self.residual_iterations, 10)
+            self.residual_configs_per_iter = max(
+                self.residual_configs_per_iter, 200)
+            if len(self.nqs_hidden_dims) < 5:
+                self.nqs_hidden_dims = [384] * 5
+        elif n_valid_configs <= 20000:
+            tier = "large"
+            self.max_accumulated_basis = min(n_valid_configs, 12288)
+            self.max_diverse_configs = min(n_valid_configs, 8192)
+            self.residual_iterations = 15
+            self.residual_configs_per_iter = 300
+            self.residual_threshold = 1e-7
+            self.nqs_hidden_dims = [512] * 5
+            self.max_epochs = max(self.max_epochs, 600)
+            self.samples_per_batch = 4000
+        else:
+            tier = "very_large"
+            self.max_accumulated_basis = 16384
+            self.max_diverse_configs = min(n_valid_configs, 12288)
+            self.residual_iterations = 20
+            self.residual_configs_per_iter = 500
+            self.residual_threshold = 1e-8
+            self.nqs_hidden_dims = [512] * 6
+            self.nf_hidden_dims = [384, 384]
+            self.max_epochs = max(self.max_epochs, 800)
+            self.min_epochs = max(self.min_epochs, 200)
+            self.samples_per_batch = 6000
+        if self.verbose:
+            print(f"System size: {n_valid_configs:,} valid configs -> "
+                  f"{tier} tier "
+                  f"(basis cap {self.max_accumulated_basis:,}, "
+                  f"diverse cap {self.max_diverse_configs:,})")
+        return self
+
+
+class FlowGuidedKrylovPipeline:
+    """Four-stage driver (reference ``pipeline.py:263-821``)."""
+
+    def __init__(self, hamiltonian: MolecularHamiltonian,
+                 config: Optional[PipelineConfig] = None,
+                 exact_energy: Optional[float] = None):
+        self.h = hamiltonian
+        self.config = config or PipelineConfig()
+        self.exact_energy = exact_energy
+        self.results: Dict = {}
+
+        self.n_valid = hamiltonian.n_valid_configs
+        self.config.adapt_to_system_size(self.n_valid)
+
+        c = self.config
+        self.flow = ParticleConservingFlow(
+            n_orbitals=hamiltonian.n_orbitals,
+            n_alpha=hamiltonian.n_alpha,
+            n_beta=hamiltonian.n_beta,
+            hidden_dims=tuple(c.nf_hidden_dims))
+        self.nqs = DenseNQS(num_sites=2 * hamiltonian.n_orbitals,
+                            hidden_dims=tuple(c.nqs_hidden_dims))
+        self.hf_state = hamiltonian.get_hf_state()
+        self.trainer: Optional[PhysicsGuidedFlowTrainer] = None
+        self.nf_basis: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # Stage 1
+    # ------------------------------------------------------------------
+
+    def train_flow_nqs(self) -> Dict:
+        c = self.config
+        if c.verbose:
+            print("\n[Stage 1] NF-NQS co-training")
+        tcfg = PhysicsGuidedConfig(
+            num_epochs=c.max_epochs, min_epochs=c.min_epochs,
+            samples_per_batch=c.samples_per_batch,
+            teacher_weight=c.teacher_weight,
+            physics_weight=c.physics_weight,
+            entropy_weight=c.entropy_weight,
+            flow_lr=c.nf_lr, nqs_lr=c.nqs_lr,
+            convergence_threshold=c.convergence_threshold,
+            max_accumulated_basis=c.max_accumulated_basis,
+            seed=c.seed, verbose=c.verbose)
+        self.trainer = PhysicsGuidedFlowTrainer(self.h, self.flow, self.nqs,
+                                                tcfg)
+        if c.use_ci_seeding:
+            seed_basis = self._ci_seed_basis()
+            self.trainer._update_accumulated_basis(seed_basis,
+                                                   len(seed_basis))
+        t0 = time.perf_counter()
+        history = self.trainer.train()
+        self.results["stage1"] = {
+            "history": history,
+            "final_energy": history["energies"][-1],
+            "n_epochs": len(history["energies"]),
+            "wall_time": time.perf_counter() - t0,
+        }
+        return self.results["stage1"]
+
+    def _ci_seed_basis(self) -> np.ndarray:
+        """HF + all singles/doubles as a seed (``use_ci_seeding``)."""
+        conn, _ = self.h.connections_np(self.hf_state[None, :])
+        return np.concatenate([self.hf_state[None, :], conn[0]], axis=0)
+
+    # ------------------------------------------------------------------
+    # Stage 2
+    # ------------------------------------------------------------------
+
+    def extract_and_select_basis(self) -> Dict:
+        c = self.config
+        if c.verbose:
+            print("\n[Stage 2] Basis extraction + diversity selection")
+        if self.trainer is None or self.trainer.accumulated_basis is None:
+            raise RuntimeError("run train_flow_nqs first")
+        accumulated = self.trainer.accumulated_basis
+
+        # particle-conservation audit (reference ``pipeline.py:438-448``)
+        from .ops.bits import unpack_np
+        occ = unpack_np(accumulated, self.h.n_orbitals)
+        audit = verify_particle_conservation(
+            occ, self.h.n_alpha, self.h.n_beta, self.h.n_orbitals)
+        if not audit["all_valid"]:
+            raise AssertionError(
+                f"particle conservation violated: {audit}")
+
+        if c.use_diversity_selection and len(accumulated) > c.max_diverse_configs:
+            import jax.numpy as jnp
+            la = np.asarray(self.nqs.apply(
+                self.trainer.nqs_params,
+                jnp.asarray(occ, jnp.float32)))
+            probs = np.exp(2.0 * (la - la.max()))
+            probs = probs / probs.sum()
+            energies = self.h.diagonal_np(accumulated)
+            selector = DiversitySelector(
+                self.hf_state,
+                DiversityConfig(max_configs=c.max_diverse_configs,
+                                rank_2_fraction=c.rank_2_fraction))
+            selected, stats = selector.select(accumulated, probs, energies)
+        else:
+            selected, stats = accumulated, {"n_selected": len(accumulated)}
+
+        # always include the HF reference
+        keys = self.h.keys(selected)
+        if self.h.keys(self.hf_state[None, :])[0] not in keys:
+            selected = np.concatenate([self.hf_state[None, :], selected])
+
+        self.nf_basis = selected
+        e_nf = float(self.h.exact_ground_state(selected, k=1)[0][0])
+        self.results["stage2"] = {
+            "nf_basis_size": int(len(selected)),
+            "nf_energy": e_nf,
+            "selection_stats": stats,
+            "audit": audit,
+        }
+        if c.verbose:
+            err = (f"  err={1000 * (e_nf - self.exact_energy):+.3f} mHa"
+                   if self.exact_energy is not None else "")
+            print(f"  selected {len(selected)} configs, E={e_nf:.6f}{err}")
+        return self.results["stage2"]
+
+    # ------------------------------------------------------------------
+    # Stage 3
+    # ------------------------------------------------------------------
+
+    def run_residual_expansion(self) -> Dict:
+        c = self.config
+        if c.verbose:
+            print("\n[Stage 3] PT2 residual expansion")
+        if self.nf_basis is None:
+            raise RuntimeError("run extract_and_select_basis first")
+        if not c.use_residual_expansion:
+            e = float(self.h.exact_ground_state(self.nf_basis, k=1)[0][0])
+            self.results["stage3"] = {"energy": e, "basis": self.nf_basis,
+                                      "skipped": True}
+            return self.results["stage3"]
+
+        rcfg = ResidualExpansionConfig(
+            configs_per_iteration=c.residual_configs_per_iter,
+            residual_threshold=c.residual_threshold,
+            max_iterations=c.residual_iterations,
+            max_basis_size=max(c.max_accumulated_basis,
+                               len(self.nf_basis)
+                               + c.residual_iterations
+                               * c.residual_configs_per_iter))
+        expander = SelectedCIExpander(self.h, rcfg)
+
+        basis = self.nf_basis
+        best_energy = np.inf
+        best_basis = basis
+        stall = 0
+        energies: List[float] = []
+        for it in range(c.residual_iterations):
+            out = expander.expand_basis(basis)
+            e = out["energy"]
+            energies.append(e)
+            improvement = best_energy - e
+            if e < best_energy:
+                best_energy, best_basis = e, out["basis"]
+            basis = out["basis"]
+            if c.verbose:
+                print(f"  iter {it}: E={e:.6f} basis={len(basis)} "
+                      f"added={out['n_added']}")
+            if not out["accepted"]:
+                break
+            # early stopping: <0.05 mHa improvement twice -> stop
+            if improvement < 0.05 * MHA:
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+
+        self.results["stage3"] = {
+            "energy": float(best_energy),
+            "energies": energies,
+            "basis": best_basis,
+            "basis_size": int(len(best_basis)),
+            "n_iterations": len(energies),
+        }
+        if c.verbose and self.exact_energy is not None:
+            print(f"  residual E={best_energy:.6f} "
+                  f"err={1000 * (best_energy - self.exact_energy):+.3f} mHa")
+        return self.results["stage3"]
+
+    # ------------------------------------------------------------------
+    # Stage 4
+    # ------------------------------------------------------------------
+
+    def run_skqd(self) -> Dict:
+        c = self.config
+        if c.verbose:
+            print("\n[Stage 4] SKQD refinement")
+        stage3 = self.results.get("stage3")
+        residual_energy = stage3["energy"] if stage3 else None
+        residual_basis = stage3["basis"] if stage3 else self.nf_basis
+
+        # skip heuristics (reference ``pipeline.py:645-697``)
+        skip_reason = None
+        if c.skip_skqd:
+            skip_reason = "config.skip_skqd"
+        elif c.max_krylov_dim <= 0:
+            skip_reason = "max_krylov_dim <= 0"
+        elif (self.exact_energy is not None and residual_energy is not None
+              and residual_energy - self.exact_energy < 1.0 * MHA):
+            skip_reason = "residual already < 1 mHa"
+        elif (self.exact_energy is not None and residual_energy is not None
+              and len(residual_basis) < 300
+              and residual_energy - self.exact_energy < 2.0 * MHA):
+            skip_reason = "small basis already < 2 mHa"
+
+        if skip_reason is not None:
+            e = (residual_energy if residual_energy is not None else
+                 float(self.h.exact_ground_state(self.nf_basis, k=1)[0][0]))
+            self.results["stage4"] = {
+                "skipped": True, "reason": skip_reason,
+                "final_energy": float(e),
+            }
+            if c.verbose:
+                print(f"  skipped ({skip_reason})")
+            return self.results["stage4"]
+
+        skqd = FlowGuidedSKQD(
+            self.h, residual_basis,
+            SKQDConfig(max_krylov_dim=c.max_krylov_dim,
+                       time_step=c.time_step,
+                       shots_per_krylov=c.shots_per_krylov,
+                       regularization=c.skqd_regularization,
+                       seed=c.seed,
+                       verbose=c.verbose))
+        out = skqd.run_with_nf()
+
+        skqd_energy = out["best_stable_energy"]
+        # validation (reference ``pipeline.py:716-746``): reject energies
+        # below exact - 1 mHa as numerical instability
+        if (self.exact_energy is not None
+                and skqd_energy < self.exact_energy - 1.0 * MHA):
+            if c.verbose:
+                print(f"  [warn] SKQD energy {skqd_energy:.6f} below "
+                      f"exact - 1 mHa; rejecting as unstable")
+            skqd_energy = residual_energy if residual_energy is not None \
+                else out["nf_only_energy"]
+        final = (min(skqd_energy, residual_energy)
+                 if residual_energy is not None else skqd_energy)
+
+        self.results["stage4"] = {
+            "skipped": False,
+            "skqd": out,
+            "skqd_energy": float(skqd_energy),
+            "final_energy": float(final),
+        }
+        if c.verbose and self.exact_energy is not None:
+            print(f"  SKQD E={skqd_energy:.6f} "
+                  f"err={1000 * (skqd_energy - self.exact_energy):+.3f} mHa")
+        return self.results["stage4"]
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> Dict:
+        t0 = time.perf_counter()
+        self.train_flow_nqs()
+        self.extract_and_select_basis()
+        self.run_residual_expansion()
+        self.run_skqd()
+
+        nf_energy = self.results["stage2"]["nf_energy"]
+        residual_energy = self.results["stage3"]["energy"]
+        final = self.results["stage4"]["final_energy"]
+        out = {
+            "nf_nqs_energy": float(self.results["stage1"]["final_energy"]),
+            "nf_energy": float(nf_energy),
+            "nf_basis_size": self.results["stage2"]["nf_basis_size"],
+            "residual_energy": float(residual_energy),
+            "residual_basis_size": self.results["stage3"].get("basis_size"),
+            "skqd_energy": self.results["stage4"].get("skqd_energy"),
+            "combined_energy": float(final),
+            "final_energy": float(final),
+            "wall_time": time.perf_counter() - t0,
+        }
+        if self.exact_energy is not None:
+            out["exact_energy"] = self.exact_energy
+            out["error_mha"] = 1000 * (final - self.exact_energy)
+            out["chemical_accuracy"] = \
+                abs(final - self.exact_energy) < CHEMICAL_ACCURACY
+        self.results["summary"] = out
+        if self.config.verbose:
+            self._print_summary(out)
+        return out
+
+    def _print_summary(self, out: Dict):
+        print("\n" + "=" * 60)
+        print("Pipeline summary")
+        print("-" * 60)
+        print(f"  NF basis energy     : {out['nf_energy']:.6f} "
+              f"({out['nf_basis_size']} configs)")
+        print(f"  Residual energy     : {out['residual_energy']:.6f}")
+        if out.get("skqd_energy") is not None:
+            print(f"  SKQD energy         : {out['skqd_energy']:.6f}")
+        print(f"  Final energy        : {out['final_energy']:.6f}")
+        if "exact_energy" in out:
+            print(f"  Exact (FCI)         : {out['exact_energy']:.6f}")
+            print(f"  Error               : {out['error_mha']:+.4f} mHa "
+                  f"[{'PASS' if out['chemical_accuracy'] else 'FAIL'}"
+                  f" @ 1.6 mHa]")
+        print(f"  Wall time           : {out['wall_time']:.1f} s")
+        print("=" * 60)
+
+
+def run_molecular_benchmark(molecule: str,
+                            config: Optional[PipelineConfig] = None,
+                            compute_exact: bool = True) -> Dict:
+    """Molecule name -> factory -> FCI -> pipeline.run
+    (reference ``pipeline.py:824-881``)."""
+    molecule = molecule.lower()
+    if molecule not in MOLECULE_FACTORIES:
+        raise ValueError(f"unknown molecule {molecule!r}; "
+                         f"available: {sorted(MOLECULE_FACTORIES)}")
+    h = MOLECULE_FACTORIES[molecule]()
+    exact = h.fci_energy() if compute_exact else None
+    pipeline = FlowGuidedKrylovPipeline(h, config, exact_energy=exact)
+    out = pipeline.run()
+    out["molecule"] = molecule
+    return out
+
+
+# Back-compat aliases (reference ``pipeline.py:884-887``)
+EnhancedFlowKrylovPipeline = FlowGuidedKrylovPipeline
+EnhancedPipelineConfig = PipelineConfig

@@ -1,0 +1,61 @@
+"""End-to-end pipeline integration tests (physics oracles as assertions)."""
+
+import numpy as np
+import pytest
+
+from flow_guided_krylov_tpu.hamiltonians import create_h2_hamiltonian
+from flow_guided_krylov_tpu.pipeline import (FlowGuidedKrylovPipeline,
+                                             PipelineConfig,
+                                             EnhancedFlowKrylovPipeline)
+
+
+@pytest.fixture(scope="module")
+def h2_result():
+    h = create_h2_hamiltonian()
+    cfg = PipelineConfig(max_epochs=80, min_epochs=30, samples_per_batch=256,
+                         nqs_hidden_dims=[64, 64], nf_hidden_dims=[64, 64],
+                         max_krylov_dim=3, shots_per_krylov=5000,
+                         verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=h.fci_energy())
+    out = pipe.run()
+    return h, pipe, out
+
+
+def test_h2_chemical_accuracy(h2_result):
+    _, _, out = h2_result
+    assert out["chemical_accuracy"], f"error {out['error_mha']} mHa"
+    assert abs(out["error_mha"]) < 0.01  # reference headline: <0.01 mHa
+
+
+def test_variational_principle(h2_result):
+    h, _, out = h2_result
+    fci = h.fci_energy()
+    for key in ("nf_energy", "residual_energy", "final_energy"):
+        assert out[key] >= fci - 1e-9, f"{key} below FCI"
+
+
+def test_results_dict_keys(h2_result):
+    _, _, out = h2_result
+    for key in ("nf_nqs_energy", "nf_basis_size", "residual_energy",
+                "combined_energy", "final_energy", "wall_time"):
+        assert key in out
+
+
+def test_stage_results_recorded(h2_result):
+    _, pipe, _ = h2_result
+    for stage in ("stage1", "stage2", "stage3", "stage4", "summary"):
+        assert stage in pipe.results
+
+
+def test_backcompat_alias():
+    assert EnhancedFlowKrylovPipeline is FlowGuidedKrylovPipeline
+
+
+def test_adapt_to_system_size_tiers():
+    cfg = PipelineConfig(verbose=False)
+    cfg.adapt_to_system_size(100)
+    assert cfg.max_accumulated_basis >= 100
+    cfg2 = PipelineConfig(verbose=False)
+    cfg2.adapt_to_system_size(14400)
+    assert cfg2.residual_iterations == 15
+    assert cfg2.samples_per_batch == 4000
