@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched <x|H|y> matrix-element throughput.
+
+This is the hot op of the whole framework (SURVEY.md §6: "matrix-element
+eval + matvec rate" is the BASELINE target metric): for a batch of
+determinants, enumerate ALL connected determinants and their Slater-Condon
+matrix elements on device (N2-sized system: 20 qubits, 609 connections per
+determinant).
+
+The reference computes this with Python/numpy loops on the CPU
+(``molecular.py:194-327``) — its single biggest bottleneck.  ``vs_baseline``
+compares the device kernel against this repo's *vectorized NumPy float64*
+host implementation, itself already much faster than the reference's
+per-determinant loops, so the ratio is conservative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from flow_guided_krylov_tpu.chem.scf import MolecularIntegrals
+    from flow_guided_krylov_tpu.hamiltonians.molecular import \
+        MolecularHamiltonian
+    from flow_guided_krylov_tpu.ops.slater import connections_batch_np
+
+    # N2/STO-3G-sized synthetic system (20 qubits, C(10,7)^2 = 14,400 dets)
+    rng = np.random.default_rng(0)
+    n = 10
+    h1 = rng.normal(size=(n, n))
+    h1 = 0.5 * (h1 + h1.T)
+    h2 = rng.normal(size=(n,) * 4) * 0.1
+    h2 = h2 + h2.transpose(1, 0, 2, 3)
+    h2 = h2 + h2.transpose(0, 1, 3, 2)
+    h2 = h2 + h2.transpose(2, 3, 0, 1)
+    ints = MolecularIntegrals(h1e=h1, h2e=h2 / 8, nuclear_repulsion=0.5,
+                              n_electrons=14, n_orbitals=n,
+                              n_alpha=7, n_beta=7)
+    h = MolecularHamiltonian(ints)
+
+    B = 2048
+    basis = h.enumerate_basis()
+    batch = basis[rng.permutation(len(basis))[:B]]
+    C = h.n_connections
+
+    # device kernel
+    conn_fn = h.connections_device
+    import jax.numpy as jnp
+    batch_dev = jnp.asarray(batch)
+    out = conn_fn(batch_dev)
+    jax.block_until_ready(out)                 # compile + warm
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = conn_fn(batch_dev)
+    jax.block_until_ready(out)
+    dt_dev = (time.perf_counter() - t0) / iters
+    rate_dev = B * C / dt_dev
+
+    # host baseline (vectorized f64 numpy)
+    t0 = time.perf_counter()
+    connections_batch_np(batch, h.tables)
+    dt_host = time.perf_counter() - t0
+    rate_host = B * C / dt_host
+
+    print(json.dumps({
+        "metric": "matrix_elements_per_second",
+        "value": round(rate_dev),
+        "unit": "elements/s",
+        "vs_baseline": round(rate_dev / rate_host, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,11 +72,13 @@ class PhysicsGuidedFlowTrainer:
     """Co-trains a particle-conserving flow and an NQS on one Hamiltonian."""
 
     def __init__(self, hamiltonian: MolecularHamiltonian, flow, nqs,
-                 config: Optional[PhysicsGuidedConfig] = None):
+                 config: Optional[PhysicsGuidedConfig] = None,
+                 mesh=None):
         self.h = hamiltonian
         self.flow = flow
         self.nqs = nqs
         self.config = config or PhysicsGuidedConfig()
+        self.mesh = mesh  # optional ('data','basis') Mesh for SPMD sharding
         c = self.config
 
         self.key = jax.random.PRNGKey(c.seed)
@@ -121,6 +123,15 @@ class PhysicsGuidedFlowTrainer:
         conn_fn = make_connection_fn(h.tables)
         hf = jnp.asarray(h.get_hf_state())
         flow, nqs = self.flow, self.nqs
+        mesh = self.mesh
+
+        def shard(x, *axes):
+            # annotate; XLA inserts the collectives (scaling-book recipe)
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec(*axes)))
 
         def nqs_logamp_chunked(nqs_params, occ_flat):
             """Gradient-free chunked evaluation for connection amplitudes."""
@@ -150,9 +161,19 @@ class PhysicsGuidedFlowTrainer:
         def local_energies(nqs_params, packed_u, la_x):
             diag = diagonal_batch(packed_u, h.tables)
             conn, elems = conn_fn(packed_u)
-            occ_y = unpack_device(conn.reshape(-1, 2), n_orb)
-            la_y = nqs_logamp_chunked(nqs_params, occ_y)
-            la_y = la_y.reshape(elems.shape)
+            if mesh is not None:
+                # batch over 'data', connection axis over 'basis'; the
+                # per-determinant sum below reduces over 'basis' via an
+                # XLA-inserted psum
+                conn = shard(conn, "data", "basis", None)
+                elems = shard(elems, "data", "basis")
+                occ_y = unpack_device(conn, n_orb)
+                la_y = nqs.apply(nqs_params, occ_y.reshape(-1, n_sites))
+                la_y = la_y.reshape(elems.shape)
+            else:
+                occ_y = unpack_device(conn.reshape(-1, 2), n_orb)
+                la_y = nqs_logamp_chunked(nqs_params, occ_y)
+                la_y = la_y.reshape(elems.shape)
             ratios = jnp.exp(la_y - la_x[:, None])
             return diag + jnp.sum(elems * ratios, axis=-1)
 
@@ -169,8 +190,10 @@ class PhysicsGuidedFlowTrainer:
             beta_bits = jnp.sum(
                 occ_hard[:, n_orb:].astype(jnp.uint32)
                 * (jnp.uint32(1) << jnp.arange(n_orb, dtype=jnp.uint32)), -1)
-            packed = jnp.stack([alpha_bits, beta_bits], -1)
+            packed = shard(jnp.stack([alpha_bits, beta_bits], -1),
+                           "data", None)
             packed_u, n_unique = unique_compact(packed)
+            packed_u = shard(packed_u, "data", None)
             valid = jnp.arange(B) < n_unique
             occ_u = unpack_device(packed_u, n_orb)
 

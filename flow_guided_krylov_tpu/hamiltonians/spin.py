@@ -1,0 +1,197 @@
+"""Spin-lattice Hamiltonians over packed bitstrings.
+
+Counterparts of ``/root/reference/src/hamiltonians/spin.py``:
+
+* :class:`HeisenbergHamiltonian` — XXZ + fields
+  (``spin.py:13-180``): diagonal Jz/4 * sum_bonds s_i s_j + sum_i h_z/2 s_i;
+  off-diagonal antiparallel-bond flips with element (Jx+Jy)/4 and single
+  X-field flips h_x/2.
+* :class:`TransverseFieldIsing` — H = -V sum_edges Z_i Z_j - h sum_i X_i
+  with range-L (optionally periodic) interactions (``spin.py:183-309``).
+* :func:`extract_coeffs_and_paulis` — spin H -> Pauli words for the
+  circuit-based Krylov sampler (``spin.py:346-434``).
+
+TPU-first: configs are (B, 1) uint32 words; connections are static-shaped
+(every config has the same flip slots; forbidden flips carry a zero
+element), so batches jit cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .base import Hamiltonian, PauliString
+
+__all__ = ["HeisenbergHamiltonian", "TransverseFieldIsing",
+           "create_heisenberg_hamiltonian", "create_tfim_hamiltonian",
+           "extract_coeffs_and_paulis"]
+
+
+def _spins(packed: np.ndarray, n: int) -> np.ndarray:
+    """(B,) uint -> (B, n) {-1,+1} float64."""
+    shifts = np.arange(n, dtype=np.uint32)
+    bits = ((packed[:, None] >> shifts) & 1).astype(np.float64)
+    return 2.0 * bits - 1.0
+
+
+class _SpinBase(Hamiltonian):
+    pack_words = 1
+
+    def exact_dense(self) -> np.ndarray:
+        """Dense H over the full 2^n space (for n <= ~14; test oracle)."""
+        states = np.arange(1 << self.n_sites, dtype=np.uint32)[:, None]
+        return self.matrix_elements(states, states)
+
+
+class HeisenbergHamiltonian(_SpinBase):
+    def __init__(self, num_spins: int, Jx: float = 1.0, Jy: float = 1.0,
+                 Jz: float = 1.0, h_x: Optional[np.ndarray] = None,
+                 h_y: Optional[np.ndarray] = None,
+                 h_z: Optional[np.ndarray] = None, periodic: bool = False):
+        if num_spins > 31:
+            raise NotImplementedError("packed uint32 supports <= 31 spins")
+        self.n_sites = num_spins
+        self.num_sites = num_spins
+        self.Jx, self.Jy, self.Jz = Jx, Jy, Jz
+        self.h_x = np.asarray(h_x if h_x is not None else np.zeros(num_spins),
+                              float)
+        self.h_y = np.asarray(h_y if h_y is not None else np.zeros(num_spins),
+                              float)
+        self.h_z = np.asarray(h_z if h_z is not None else np.zeros(num_spins),
+                              float)
+        self.periodic = periodic
+        self.bonds = [(i, i + 1) for i in range(num_spins - 1)]
+        if periodic and num_spins > 2:
+            self.bonds.append((num_spins - 1, 0))
+        self._has_x_field = bool(np.any(np.abs(self.h_x) > 1e-10))
+
+    @property
+    def n_connections(self) -> int:
+        return len(self.bonds) + (self.n_sites if self._has_x_field else 0)
+
+    def diagonal_np(self, packed: np.ndarray) -> np.ndarray:
+        packed = np.atleast_2d(packed)[:, 0]
+        s = _spins(packed, self.n_sites)
+        diag = np.zeros(len(packed))
+        for i, j in self.bonds:
+            diag += self.Jz / 4.0 * s[:, i] * s[:, j]
+        diag += (s * (self.h_z / 2.0)).sum(axis=1)
+        return diag
+
+    def connections_np(self, packed: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        packed = np.atleast_2d(packed)[:, 0].astype(np.uint32)
+        B = len(packed)
+        conns = []
+        elems = []
+        # bond flips: element (Jx+Jy)/4 when antiparallel, else 0
+        for i, j in self.bonds:
+            mask = np.uint32((1 << i) | (1 << j))
+            bi = (packed >> np.uint32(i)) & 1
+            bj = (packed >> np.uint32(j)) & 1
+            anti = (bi != bj)
+            conns.append(packed ^ mask)
+            elems.append(np.where(anti, (self.Jx + self.Jy) / 4.0, 0.0))
+        if self._has_x_field:
+            for i in range(self.n_sites):
+                conns.append(packed ^ np.uint32(1 << i))
+                elems.append(np.full(B, self.h_x[i] / 2.0))
+        conn = np.stack(conns, axis=1)[..., None]       # (B, C, 1)
+        el = np.stack(elems, axis=1)
+        return conn.astype(np.uint32), el
+
+
+class TransverseFieldIsing(_SpinBase):
+    def __init__(self, num_spins: int, V: float = 1.0, h: float = 1.0,
+                 L: int = 1, periodic: bool = True):
+        if num_spins > 31:
+            raise NotImplementedError("packed uint32 supports <= 31 spins")
+        self.n_sites = num_spins
+        self.num_sites = num_spins
+        self.V, self.h, self.L = V, h, L
+        self.periodic = periodic
+        edges = []
+        for i in range(num_spins):
+            for d in range(1, L + 1):
+                j = (i + d) % num_spins if periodic else i + d
+                if j < num_spins and (i, j) not in edges \
+                        and (j, i) not in edges and i != j:
+                    edges.append((i, j))
+        self.edges = edges
+
+    @property
+    def n_connections(self) -> int:
+        return self.n_sites
+
+    def diagonal_np(self, packed: np.ndarray) -> np.ndarray:
+        packed = np.atleast_2d(packed)[:, 0]
+        s = _spins(packed, self.n_sites)
+        diag = np.zeros(len(packed))
+        for i, j in self.edges:
+            diag -= self.V * s[:, i] * s[:, j]
+        return diag
+
+    def connections_np(self, packed: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        packed = np.atleast_2d(packed)[:, 0].astype(np.uint32)
+        B = len(packed)
+        conns = [packed ^ np.uint32(1 << i) for i in range(self.n_sites)]
+        conn = np.stack(conns, axis=1)[..., None]
+        el = np.full((B, self.n_sites), -self.h)
+        return conn.astype(np.uint32), el
+
+
+def create_heisenberg_hamiltonian(num_spins: int, Jx: float = 1.0,
+                                  Jy: float = 1.0, Jz: float = 1.0,
+                                  h_x=None, h_y=None, h_z=None,
+                                  periodic: bool = False
+                                  ) -> HeisenbergHamiltonian:
+    return HeisenbergHamiltonian(num_spins, Jx, Jy, Jz, h_x, h_y, h_z,
+                                 periodic)
+
+
+def create_tfim_hamiltonian(num_spins: int, V: float = 1.0, h: float = 1.0,
+                            L: int = 1, periodic: bool = True
+                            ) -> TransverseFieldIsing:
+    return TransverseFieldIsing(num_spins, V, h, L, periodic)
+
+
+def extract_coeffs_and_paulis(hamiltonian) -> Tuple[List[float], List[str]]:
+    """Spin Hamiltonian -> (coefficients, Pauli words) for the circuit-based
+    Krylov basis sampler (reference ``spin.py:346-434``)."""
+    n = hamiltonian.n_sites
+    coeffs: List[float] = []
+    words: List[str] = []
+
+    def word(ops: dict) -> str:
+        return "".join(ops.get(q, "I") for q in range(n))
+
+    if isinstance(hamiltonian, TransverseFieldIsing):
+        for i, j in hamiltonian.edges:
+            coeffs.append(-hamiltonian.V)
+            words.append(word({i: "Z", j: "Z"}))
+        for i in range(n):
+            coeffs.append(-hamiltonian.h)
+            words.append(word({i: "X"}))
+    elif isinstance(hamiltonian, HeisenbergHamiltonian):
+        for i, j in hamiltonian.bonds:
+            for op, J in (("X", hamiltonian.Jx), ("Y", hamiltonian.Jy),
+                          ("Z", hamiltonian.Jz)):
+                if abs(J) > 1e-12:
+                    coeffs.append(J / 4.0)
+                    words.append(word({i: op, j: op}))
+        for i in range(n):
+            for op, harr in (("X", hamiltonian.h_x), ("Y", hamiltonian.h_y),
+                             ("Z", hamiltonian.h_z)):
+                if abs(harr[i]) > 1e-12:
+                    # spin map s = 2b - 1 means Z|b> = (1-2b)|b> = -s|b>,
+                    # so single-Z coefficients flip sign relative to the
+                    # h_z/2 * s_i diagonal convention
+                    sign = -1.0 if op == "Z" else 1.0
+                    coeffs.append(sign * harr[i] / 2.0)
+                    words.append(word({i: op}))
+    else:
+        raise TypeError(f"unsupported Hamiltonian {type(hamiltonian)}")
+    return coeffs, words

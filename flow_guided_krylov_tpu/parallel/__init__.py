@@ -1,0 +1,11 @@
+"""Distributed layer: device meshes and sharded execution.
+
+New first-class capability (the reference is single-process/single-GPU,
+SURVEY.md §2.9): data-parallel sampling/NQS evaluation and basis-sharded
+connection sums over a ('data', 'basis') mesh, with collectives inserted
+by XLA from sharding annotations.
+"""
+
+from .mesh import make_mesh, data_sharding, replicated, P, NamedSharding
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "P", "NamedSharding"]
