@@ -1,11 +1,17 @@
 """Generative samplers (flows) and Stage-1 trainers."""
 
+from .discrete import DiscreteFlowSampler, MultiModalPrior
 from .particle_conserving import (ParticleConservingFlow, gumbel_topk,
                                   verify_particle_conservation)
 from .physics_guided_training import (PhysicsGuidedConfig,
                                       PhysicsGuidedFlowTrainer)
+from .training import (FlowNQSTrainer, IncrementalHamiltonianCache,
+                       InferenceNQSTrainer, TrainingConfig)
 
 __all__ = [
     "ParticleConservingFlow", "gumbel_topk", "verify_particle_conservation",
     "PhysicsGuidedConfig", "PhysicsGuidedFlowTrainer",
+    "DiscreteFlowSampler", "MultiModalPrior",
+    "TrainingConfig", "FlowNQSTrainer", "InferenceNQSTrainer",
+    "IncrementalHamiltonianCache",
 ]

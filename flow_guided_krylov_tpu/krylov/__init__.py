@@ -1,5 +1,7 @@
 """Krylov solvers: SKQD, Selected-CI expansion, circuit basis sampling."""
 
+from .basis_sampler import (CircuitSamplerConfig, CUDAQConfig,
+                            KrylovBasisSampler, create_circuit_sampler)
 from .residual_expansion import (ResidualBasedExpander,
                                  ResidualExpansionConfig, SelectedCIExpander,
                                  iterative_residual_expansion)
@@ -11,4 +13,6 @@ __all__ = [
     "iterative_residual_expansion",
     "SKQDConfig", "SampleBasedKrylovDiagonalization", "FlowGuidedSKQD",
     "lanczos_expm",
+    "CircuitSamplerConfig", "CUDAQConfig", "KrylovBasisSampler",
+    "create_circuit_sampler",
 ]

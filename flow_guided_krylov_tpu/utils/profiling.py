@@ -1,0 +1,73 @@
+"""Tracing / profiling utilities.
+
+The reference's observability is per-epoch wall-clock history and tqdm
+postfixes (SURVEY.md §5).  This rebuild adds ``jax.profiler`` traces and a
+structured per-stage timer that the pipeline and benchmarks share.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from typing import Dict, Optional
+
+__all__ = ["StageTimer", "trace", "device_memory_stats"]
+
+
+class StageTimer:
+    """Accumulates named wall-clock spans; ``.summary()`` is JSON-friendly."""
+
+    def __init__(self):
+        self.spans: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.spans[name] = self.spans.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {name: {"total_s": round(self.spans[name], 4),
+                       "calls": self.counts[name],
+                       "mean_s": round(self.spans[name]
+                                       / max(1, self.counts[name]), 4)}
+                for name in self.spans}
+
+    def dump(self) -> str:
+        return json.dumps(self.summary(), indent=2)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/fgk_jax_trace"):
+    """jax.profiler trace context; view with TensorBoard/XProf."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats() -> Optional[Dict]:
+    """Per-device memory stats when the backend exposes them."""
+    import jax
+    out = {}
+    for d in jax.devices():
+        stats = getattr(d, "memory_stats", None)
+        if callable(stats):
+            try:
+                s = stats()
+                out[str(d)] = {
+                    "bytes_in_use": s.get("bytes_in_use"),
+                    "peak_bytes_in_use": s.get("peak_bytes_in_use"),
+                    "bytes_limit": s.get("bytes_limit"),
+                }
+            except Exception:
+                pass
+    return out or None

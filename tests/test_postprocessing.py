@@ -1,0 +1,128 @@
+"""Postprocessing layer tests: selection, eigensolvers, projected H, utils."""
+
+import numpy as np
+import pytest
+
+from flow_guided_krylov_tpu.postprocessing import (
+    DavidsonSolver, DiversityConfig, DiversitySelector,
+    ProjectedHamiltonianBuilder, adaptive_eigensolver, analyze_basis_diversity,
+    basis_overlap, compute_excitation_rank, filter_by_probability,
+    ground_state_sparsity, lanczos_ground_state, merge_bases,
+    merge_measurements, regularize_overlap_matrix,
+    solve_generalized_eigenvalue)
+
+
+def test_excitation_rank():
+    hf = np.array([0b0011, 0b0011], np.uint32)
+    configs = np.array([
+        [0b0011, 0b0011],   # rank 0
+        [0b0101, 0b0011],   # rank 1 (one alpha moved)
+        [0b0101, 0b0101],   # rank 2
+    ], np.uint32)
+    ranks = compute_excitation_rank(configs, hf)
+    np.testing.assert_array_equal(ranks, [0, 1, 2])
+
+
+def test_diversity_selector_budgets_and_dedup():
+    rng = np.random.default_rng(0)
+    hf = np.array([0b0001111, 0b0001111], np.uint32)
+    # random 7-orbital 4/4-electron... use valid popcounts: sample permutations
+    def rand_det():
+        a = rng.permutation(7)[:4]
+        b = rng.permutation(7)[:4]
+        return [sum(1 << int(i) for i in a), sum(1 << int(i) for i in b)]
+    configs = np.array([rand_det() for _ in range(300)], np.uint32)
+    configs = np.concatenate([configs, configs[:50]])  # duplicates
+    sel = DiversitySelector(hf, DiversityConfig(max_configs=64))
+    chosen, stats = sel.select(configs)
+    assert stats["n_unique"] <= 300
+    assert len(chosen) <= 64 + 5
+    # uniqueness of selection
+    keys = (chosen[:, 0].astype(np.uint64) << np.uint64(32)) | chosen[:, 1]
+    assert len(np.unique(keys)) == len(chosen)
+
+
+def test_generalized_eigenvalue_matches_numpy():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(40, 40))
+    H = A + A.T
+    B = rng.normal(size=(40, 40))
+    S = B @ B.T + 40 * np.eye(40)
+    vals, vecs = solve_generalized_eigenvalue(H, S, k=2)
+    import scipy.linalg as sla
+    ref = sla.eigh(H, S)[0][:2]
+    np.testing.assert_allclose(vals, ref, atol=1e-8)
+
+
+def test_regularize_overlap():
+    S = np.diag([1.0, 1e-14, 0.5])
+    R = regularize_overlap_matrix(S, threshold=1e-10)
+    assert np.linalg.eigvalsh(R).min() >= 1e-10 * (1 - 1e-6)
+
+
+def test_davidson_matches_dense():
+    rng = np.random.default_rng(2)
+    n = 300
+    H = np.diag(np.arange(n, dtype=float))
+    H += 0.01 * (lambda a: a + a.T)(rng.normal(size=(n, n)))
+    exact = np.linalg.eigh(H)[0][0]
+    solver = DavidsonSolver(tol=1e-10)
+    vals, vecs = solver.solve(lambda v: H @ v, np.diag(H))
+    assert vals[0] == pytest.approx(exact, abs=1e-7)
+
+
+def test_adaptive_routing():
+    rng = np.random.default_rng(3)
+    for n in (50, 800):
+        A = rng.normal(size=(n, n))
+        H = A + A.T
+        vals, _ = adaptive_eigensolver(H, k=1)
+        exact = np.linalg.eigh(H)[0][0]
+        assert vals[0] == pytest.approx(exact, abs=1e-6)
+
+
+def test_lanczos_ground_state_device():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    n = 200
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    H = (A + A.T) / 2
+    exact = np.linalg.eigh(H.astype(np.float64))[0][0]
+    e, v = lanczos_ground_state(jnp.asarray(H), m=80)
+    assert e == pytest.approx(exact, rel=1e-4, abs=1e-3)
+
+
+def test_projected_hamiltonian_vs_pauli_apply():
+    from flow_guided_krylov_tpu.hamiltonians.base import PauliString
+    words = ["XZI", "IYY", "ZZZ", "XII"]
+    coeffs = [0.5, -0.3, 0.8, 0.2]
+    builder = ProjectedHamiltonianBuilder.from_coeffs_and_words(coeffs, words)
+    basis = np.arange(8, dtype=np.uint64)
+    H = builder.build_dense(basis)
+    # oracle
+    Ho = np.zeros((8, 8), complex)
+    for c, w in zip(coeffs, words):
+        p = PauliString(w, c)
+        for x in range(8):
+            y, ph = p.apply(x)
+            Ho[y, x] += ph
+    Ho = 0.5 * (Ho + Ho.conj().T)
+    np.testing.assert_allclose(H, Ho.real if np.abs(Ho.imag).max() < 1e-12
+                               else Ho, atol=1e-12)
+    Hs = builder.build_sparse(basis).toarray()
+    np.testing.assert_allclose(Hs, H, atol=1e-12)
+
+
+def test_measurement_utils():
+    merged = merge_measurements([{1: 3, 2: 1}, {2: 2, 5: 4}])
+    assert merged == {1: 3, 2: 3, 5: 4}
+    filt = filter_by_probability(merged, min_probability=0.35)
+    assert 5 in filt and 1 not in filt and 2 not in filt
+    ov = basis_overlap(np.array([[1], [2], [3]], np.uint32),
+                       np.array([[2], [4]], np.uint32))
+    assert ov["n_common"] == 1 and ov["n_a_only"] == 2
+    sp_stats = ground_state_sparsity(np.array([0.9, 0.1, 0.01, 1e-6]))
+    assert sp_stats["n_above_0.01"] >= 2
+    merged_basis = merge_bases(np.array([[1, 2]], np.uint32),
+                               np.array([[1, 2], [3, 4]], np.uint32))
+    assert len(merged_basis) == 2
