@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Active-space benchmarks for larger systems.
+
+Counterpart of ``/root/reference/examples/large_system_benchmark.py``:
+frozen-core active-space pipelines (core J/K folding implemented in
+``chem/active_space.py``, the rebuild of
+``large_system_benchmark.py:93-167``) for N2, ozone, and butadiene-class
+systems.
+
+Systems needing beyond-first-row elements (Cr2, Fe-porphyrin) or
+correlation-consistent basis sets (cc-pVDZ) are gated with explicit
+errors: the self-contained basis tables cover first-row STO-3G/6-31G.
+
+Usage: python examples/large_system_benchmark.py --system n2_frozen
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+SYSTEMS = {}
+
+
+def register(name):
+    def deco(fn):
+        SYSTEMS[name] = fn
+        return fn
+    return deco
+
+
+@register("n2_frozen")
+def n2_frozen():
+    """N2 with frozen 1s cores: 8 active orbitals, 10 active electrons."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals([("N", (0, 0, 0)),
+                                        ("N", (0, 0, 1.10))])
+    act = compute_active_space_integrals(ints, n_frozen=2)
+    return MolecularHamiltonian(act)
+
+
+@register("ozone")
+def ozone():
+    """O3 (C2v), frozen 1s cores: 12 active orbitals, 18 active electrons."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    # experimental geometry: r(OO)=1.278 A, angle 116.8 deg
+    ang = np.radians(116.8 / 2)
+    r = 1.278
+    geom = [("O", (0.0, 0.0, 0.0)),
+            ("O", (r * np.sin(ang), r * np.cos(ang), 0.0)),
+            ("O", (-r * np.sin(ang), r * np.cos(ang), 0.0))]
+    ints = compute_molecular_integrals(geom)
+    act = compute_active_space_integrals(ints, n_frozen=3)
+    return MolecularHamiltonian(act)
+
+
+@register("butadiene_pi")
+def butadiene_pi():
+    """trans-butadiene with a frozen-core active window (C 1s frozen)."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    # planar trans-butadiene (approximate experimental geometry, Angstrom)
+    geom = [
+        ("C", (-1.849, 0.135, 0.0)), ("C", (-0.616, -0.426, 0.0)),
+        ("C", (0.616, 0.426, 0.0)), ("C", (1.849, -0.135, 0.0)),
+        ("H", (-2.743, -0.479, 0.0)), ("H", (-1.966, 1.211, 0.0)),
+        ("H", (-0.537, -1.508, 0.0)), ("H", (0.537, 1.508, 0.0)),
+        ("H", (1.966, -1.211, 0.0)), ("H", (2.743, 0.479, 0.0)),
+    ]
+    ints = compute_molecular_integrals(geom)
+    # freeze C 1s cores + the deepest sigma MOs to reach a 10-orbital window
+    act = compute_active_space_integrals(ints, n_frozen=10, n_active=10)
+    return MolecularHamiltonian(act)
+
+
+@register("cr2")
+def cr2():
+    raise NotImplementedError(
+        "Cr2 needs transition-metal basis data (beyond first row); gated")
+
+
+@register("n2_ccpvdz")
+def n2_ccpvdz():
+    raise NotImplementedError(
+        "cc-pVDZ needs d shells; the self-contained integral engine covers "
+        "s/p (STO-3G, 6-31G) so far; gated")
+
+
+def run(system: str, preset_name: str = "fast") -> dict:
+    from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
+    from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
+
+    h = SYSTEMS[system]()
+    n_valid = h.n_valid_configs
+    exact = h.fci_energy() if n_valid <= 100_000 else None
+    cfg = SystemScaler(n_valid, QualityPreset(preset_name)
+                       ).create_pipeline_config(verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=exact)
+    out = pipe.run()
+    res = {
+        "system": system, "n_active_orbitals": h.n_orbitals,
+        "n_active_electrons": h.n_electrons, "n_valid": n_valid,
+        "final_energy": out["final_energy"],
+    }
+    if exact is not None:
+        res["exact_energy"] = exact
+        res["error_mha"] = out["error_mha"]
+        res["chemical_accuracy"] = out["chemical_accuracy"]
+    print(json.dumps(res))
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--system", default="n2_frozen",
+                   help=f"one of {sorted(SYSTEMS)}")
+    p.add_argument("--preset", default="fast",
+                   choices=["fast", "balanced", "accurate"])
+    args = p.parse_args()
+    run(args.system, args.preset)
+
+
+if __name__ == "__main__":
+    main()
