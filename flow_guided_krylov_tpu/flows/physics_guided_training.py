@@ -64,6 +64,8 @@ class PhysicsGuidedConfig:
     use_accumulated_energy: bool = True
     accumulated_energy_interval: int = 50
     nqs_chunk_size: int = 16384
+    use_connection_table: bool = True   # precompute all connections on device
+    connection_table_max_entries: int = 50_000_000
     seed: int = 0
     verbose: bool = True
 
@@ -99,6 +101,12 @@ class PhysicsGuidedFlowTrainer:
             optax.adamw(nqs_sched, weight_decay=c.weight_decay))
         self.flow_opt_state = self.flow_opt.init(self.flow_params)
         self.nqs_opt_state = self.nqs_opt.init(self.nqs_params)
+
+        self.connection_table = None
+        if c.use_connection_table and self.mesh is None:
+            from ..utils.connection_table import build_connection_table
+            self.connection_table = build_connection_table(
+                hamiltonian, max_entries=c.connection_table_max_entries)
 
         self.accumulated_basis: Optional[np.ndarray] = None  # (M, 2) uint32
         self._acc_keys: Optional[np.ndarray] = None
@@ -158,7 +166,17 @@ class PhysicsGuidedFlowTrainer:
             buf = buf.at[pos].set(jnp.stack([a, b], -1), mode="drop")
             return buf, jnp.sum(first)
 
+        table = self.connection_table
+
         def local_energies(nqs_params, packed_u, la_x):
+            if table is not None:
+                # precomputed-table path: pure gathers (HBM bandwidth)
+                diag, elems, occ_y = table.local_energy_inputs(packed_u)
+                la_y = nqs_logamp_chunked(
+                    nqs_params, occ_y.reshape(-1, n_sites))
+                la_y = la_y.reshape(elems.shape)
+                ratios = jnp.exp(la_y - la_x[:, None])
+                return diag + jnp.sum(elems * ratios, axis=-1)
             diag = diagonal_batch(packed_u, h.tables)
             conn, elems = conn_fn(packed_u)
             if mesh is not None:

@@ -1,0 +1,128 @@
+"""Device-resident full connection table.
+
+The TPU-native redesign of the reference's ``ConnectionCache``
+(``/root/reference/src/utils/connection_cache.py``): instead of memoizing
+per-configuration connection lists in host dicts with float64 key matmuls,
+exploit that the Hamiltonian is FIXED and the particle-conserving space is
+enumerable — precompute ALL connections (target indices + matrix elements
++ diagonal + occupations) once on device, then every training epoch's
+"connection enumeration" is a bandwidth-bound gather.
+
+For N2/STO-3G this is 14,400 x 609 entries (~70 MB in HBM), built in one
+pass of the static-shape Slater-Condon kernel.  Falls back to on-the-fly
+computation when the space exceeds ``max_entries`` or n_orb > 16 (packed
+lexicographic keys must fit uint32 for the device searchsorted).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.slater import diagonal_batch, make_connection_fn
+
+__all__ = ["DeviceConnectionTable", "build_connection_table"]
+
+
+class DeviceConnectionTable:
+    """All-pairs connection data for a particle-conserving space."""
+
+    def __init__(self, basis_packed: np.ndarray, keys_sorted: jnp.ndarray,
+                 order: jnp.ndarray, target_idx: jnp.ndarray,
+                 elems: jnp.ndarray, diag: jnp.ndarray, occ: jnp.ndarray,
+                 n_orb: int):
+        self.basis_packed = basis_packed        # (N, 2) uint32, host
+        self._keys_sorted = keys_sorted         # (N,) uint32, device
+        self._order = order                     # (N,) int32, device
+        self.target_idx = target_idx            # (N, C) int32, device
+        self.elems = elems                      # (N, C) f32, device
+        self.diag = diag                        # (N,) f32, device
+        self.occ = occ                          # (N, 2*n_orb) f32, device
+        self.n_orb = n_orb
+
+    @property
+    def n_configs(self) -> int:
+        return self.target_idx.shape[0]
+
+    @property
+    def n_connections(self) -> int:
+        return self.target_idx.shape[1]
+
+    def key_of(self, packed: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2) uint32 -> (B,) uint32 lexicographic key (n_orb <= 16)."""
+        return (packed[:, 0] << jnp.uint32(self.n_orb)) | packed[:, 1]
+
+    def lookup(self, packed: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2) uint32 -> (B,) int32 indices into the enumerated basis."""
+        k = self.key_of(packed)
+        pos = jnp.searchsorted(self._keys_sorted, k)
+        pos = jnp.clip(pos, 0, self.n_configs - 1)
+        return self._order[pos]
+
+    def local_energy_inputs(self, packed: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(B,2) -> (diag (B,), elems (B,C), target occupations (B,C,2n))."""
+        idx = self.lookup(packed)
+        tgt = self.target_idx[idx]
+        return self.diag[idx], self.elems[idx], self.occ[tgt]
+
+
+def build_connection_table(hamiltonian, max_entries: int = 50_000_000,
+                           chunk: int = 2048
+                           ) -> Optional[DeviceConnectionTable]:
+    """Build the table, or None when the space is too large / unsupported."""
+    n_orb = hamiltonian.n_orbitals
+    if 2 * n_orb > 32:
+        return None
+    n_valid = hamiltonian.n_valid_configs
+    n_conn = hamiltonian.n_connections
+    if n_valid * n_conn > max_entries:
+        return None
+
+    basis = hamiltonian.enumerate_basis()           # (N, 2) uint32, sorted? no
+    N = len(basis)
+    conn_fn = make_connection_fn(hamiltonian.tables)
+
+    keys_np = ((basis[:, 0].astype(np.uint64) << np.uint64(n_orb))
+               | basis[:, 1].astype(np.uint64)).astype(np.uint32)
+    order_np = np.argsort(keys_np)
+    keys_sorted = jnp.asarray(keys_np[order_np])
+    order = jnp.asarray(order_np.astype(np.int32))
+
+    basis_dev = jnp.asarray(basis)
+    from ..ops.bits import unpack_device
+    occ = unpack_device(basis_dev, n_orb)
+    diag = diagonal_batch(basis_dev, hamiltonian.tables)
+
+    def lookup_keys(k):
+        pos = jnp.clip(jnp.searchsorted(keys_sorted, k), 0, N - 1)
+        return order[pos]
+
+    @jax.jit
+    def chunk_table(packed_chunk):
+        conn, elems = conn_fn(packed_chunk)
+        k = ((conn[..., 0] << jnp.uint32(n_orb)) | conn[..., 1])
+        tgt = lookup_keys(k.reshape(-1)).reshape(k.shape)
+        return tgt.astype(jnp.int32), elems
+
+    tgt_parts = []
+    el_parts = []
+    for start in range(0, N, chunk):
+        part = basis[start:start + chunk]
+        pad = 0
+        if len(part) < chunk:
+            pad = chunk - len(part)
+            part = np.concatenate([part, np.tile(part[-1:], (pad, 1))])
+        tgt, el = chunk_table(jnp.asarray(part))
+        if pad:
+            tgt, el = tgt[:-pad], el[:-pad]
+        tgt_parts.append(tgt)
+        el_parts.append(el)
+    target_idx = jnp.concatenate(tgt_parts, axis=0)
+    elems = jnp.concatenate(el_parts, axis=0)
+
+    return DeviceConnectionTable(basis, keys_sorted, order, target_idx,
+                                 elems, diag, occ, n_orb)

@@ -1,0 +1,36 @@
+"""Device connection table vs on-the-fly kernel."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+from flow_guided_krylov_tpu.utils.connection_table import \
+    build_connection_table
+
+
+def test_table_matches_kernel():
+    h = create_lih_hamiltonian()
+    table = build_connection_table(h)
+    assert table is not None
+    assert table.n_configs == 225
+
+    rng = np.random.default_rng(0)
+    batch = h.enumerate_basis()[rng.permutation(225)[:40]]
+    diag_t, elems_t, occ_t = table.local_energy_inputs(jnp.asarray(batch))
+
+    diag_ref = h.diagonal_np(batch)
+    conn_ref, elems_ref = h.connections_np(batch)
+    np.testing.assert_allclose(np.asarray(diag_t), diag_ref,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(elems_t), elems_ref, atol=2e-5)
+    # target occupations must match the packed targets
+    from flow_guided_krylov_tpu.ops.bits import unpack_np
+    occ_ref = unpack_np(conn_ref.reshape(-1, 2), h.n_orbitals)
+    np.testing.assert_array_equal(
+        np.asarray(occ_t).reshape(-1, 2 * h.n_orbitals), occ_ref)
+
+
+def test_table_caps():
+    h = create_lih_hamiltonian()
+    assert build_connection_table(h, max_entries=10) is None
