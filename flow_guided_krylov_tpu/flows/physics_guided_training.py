@@ -168,10 +168,23 @@ class PhysicsGuidedFlowTrainer:
 
         table = self.connection_table
 
-        def local_energies(nqs_params, packed_u, la_x):
+        def local_energies(nqs_params, packed_u, la_x, table_arrays):
             if table is not None:
-                # precomputed-table path: pure gathers (HBM bandwidth)
-                diag, elems, occ_y = table.local_energy_inputs(packed_u)
+                # precomputed-table path: pure gathers (HBM bandwidth).
+                # Table tensors arrive as ARGUMENTS, not closure constants —
+                # closed-over arrays become XLA literals and a 70 MB literal
+                # makes compilation pathological.
+                keys_sorted, order, target_idx, t_elems, t_diag, t_occ = \
+                    table_arrays
+                k = ((packed_u[:, 0] << jnp.uint32(table.n_orb))
+                     | packed_u[:, 1])
+                pos = jnp.clip(jnp.searchsorted(keys_sorted, k), 0,
+                               keys_sorted.shape[0] - 1)
+                idx = order[pos]
+                tgt = target_idx[idx]
+                diag = t_diag[idx]
+                elems = t_elems[idx]
+                occ_y = t_occ[tgt]
                 la_y = nqs_logamp_chunked(
                     nqs_params, occ_y.reshape(-1, n_sites))
                 la_y = la_y.reshape(elems.shape)
@@ -197,7 +210,7 @@ class PhysicsGuidedFlowTrainer:
 
         @jax.jit
         def step(flow_params, nqs_params, flow_opt_state, nqs_opt_state,
-                 key, temperature):
+                 key, temperature, table_arrays=None):
             k_samp, = jax.random.split(key, 1)
             configs, _ = flow.apply(flow_params, k_samp, B, temperature,
                                     method=flow.sample)
@@ -218,7 +231,7 @@ class PhysicsGuidedFlowTrainer:
             # local energies (no gradient through connections)
             la_x_sg = nqs.apply(nqs_params, occ_u)
             e_loc = jax.lax.stop_gradient(
-                local_energies(nqs_params, packed_u, la_x_sg))
+                local_energies(nqs_params, packed_u, la_x_sg, table_arrays))
             e_loc = jnp.where(valid, e_loc, 0.0)
 
             # NQS probabilities over the unique batch
@@ -269,6 +282,13 @@ class PhysicsGuidedFlowTrainer:
                     packed_u, n_unique, metrics)
 
         return step
+
+    def _table_arrays(self):
+        t = self.connection_table
+        if t is None:
+            return None
+        return (t._keys_sorted, t._order, t.target_idx, t.elems, t.diag,
+                t.occ)
 
     # ------------------------------------------------------------------
     # Host-side accumulation
@@ -330,7 +350,7 @@ class PhysicsGuidedFlowTrainer:
             (self.flow_params, self.nqs_params, self.flow_opt_state,
              self.nqs_opt_state, packed_u, n_unique, metrics) = self._step(
                 self.flow_params, self.nqs_params, self.flow_opt_state,
-                self.nqs_opt_state, k, temp)
+                self.nqs_opt_state, k, temp, self._table_arrays())
 
             n_unique = int(n_unique)
             packed_u = np.asarray(packed_u)
