@@ -56,18 +56,31 @@ def _pauli_masks(word: str) -> Tuple[int, int, int]:
     return x_mask, z_mask, n_y
 
 
-@partial(jax.jit, static_argnames=("n_qubits",))
+def _xor_permute(psi: jnp.ndarray, x_mask: int, n_qubits: int) -> jnp.ndarray:
+    """psi[k ^ x_mask] via axis flips — XOR by a mask is a composition of
+    single-bit reflections, so on TPU it lowers to cheap strided reverses
+    instead of a random gather (the gather formulation is ~10x slower on
+    the VPU for large statevectors)."""
+    shape = (2,) * n_qubits
+    v = psi.reshape(shape)            # axis j <-> qubit (n_qubits-1-j)
+    axes = [n_qubits - 1 - q for q in range(n_qubits) if (x_mask >> q) & 1]
+    if axes:
+        v = jnp.flip(v, axis=axes)
+    return v.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("x_mask", "z_mask", "n_y", "n_qubits"))
 def _apply_pauli_rotation(psi: jnp.ndarray, theta: jnp.ndarray,
-                          x_mask: jnp.ndarray, z_mask: jnp.ndarray,
-                          n_y: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+                          x_mask: int, z_mask: int,
+                          n_y: int, n_qubits: int) -> jnp.ndarray:
     """psi' = exp(-i theta P) psi = cos(theta) psi - i sin(theta) (P psi)."""
     dim = 1 << n_qubits
     idx = jnp.arange(dim, dtype=jnp.uint32)
-    src = idx ^ x_mask
+    src = idx ^ jnp.uint32(x_mask)
     # (P psi)[k] = phase(k ^ x_mask) * psi[k ^ x_mask]
-    par = jax.lax.population_count(src & z_mask) & jnp.uint32(1)
+    par = jax.lax.population_count(src & jnp.uint32(z_mask)) & jnp.uint32(1)
     phase = (1j) ** n_y * jnp.where(par == 1, -1.0 + 0j, 1.0 + 0j)
-    p_psi = phase * psi[src]
+    p_psi = phase * _xor_permute(psi, x_mask, n_qubits)
     return jnp.cos(theta) * psi - 1j * jnp.sin(theta) * p_psi
 
 
@@ -108,8 +121,7 @@ class KrylovBasisSampler:
         for _ in range(c.num_trotter_steps):
             for coef, (xm, zm, ny) in zip(self.coeffs, self.masks):
                 psi = _apply_pauli_rotation(
-                    psi, jnp.float32(coef * dt), jnp.uint32(xm),
-                    jnp.uint32(zm), jnp.int32(ny), self.n_qubits)
+                    psi, jnp.float32(coef * dt), xm, zm, ny, self.n_qubits)
         return np.asarray(psi)
 
     def sample(self, t: Optional[float] = None,

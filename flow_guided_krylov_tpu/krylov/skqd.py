@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from ..hamiltonians.base import Hamiltonian
 
 __all__ = ["SKQDConfig", "SampleBasedKrylovDiagonalization",
-           "FlowGuidedSKQD", "lanczos_expm"]
+           "FlowGuidedSKQD", "lanczos_expm", "lanczos_expm_ell"]
 
 
 @dataclass
@@ -54,6 +54,7 @@ class SKQDConfig:
     num_eigenvalues: int = 2
     regularization: float = 1e-8
     use_device_evolution: bool = True
+    evolution: str = "auto"            # 'auto' | 'dense' | 'ell' | 'scipy'
     lanczos_dim: int = 30
     seed: int = 0
     verbose: bool = False
@@ -63,22 +64,14 @@ class SKQDConfig:
 # On-device Lanczos propagator
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("m",))
-def lanczos_expm(h_dense: jnp.ndarray, psi_re: jnp.ndarray,
-                 psi_im: jnp.ndarray, dt: jnp.ndarray, m: int
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _lanczos_expm_impl(mv, psi_re, psi_im, dt, m):
     """exp(-i dt H) |psi> via an m-step Lanczos Krylov subspace.
 
-    H is real symmetric (dense, f32 on the MXU); psi is complex, carried
+    ``mv(re, im)`` applies the real-symmetric H to a complex vector carried
     as (re, im) f32 pairs.  alpha/beta are real for real-symmetric H even
     with complex vectors, so T is a real tridiagonal; the small (m, m)
     exponential is computed by eigh in-graph.
     """
-    def mv(re, im):
-        pr = jnp.dot(h_dense, re, precision=jax.lax.Precision.HIGHEST)
-        pi = jnp.dot(h_dense, im, precision=jax.lax.Precision.HIGHEST)
-        return pr, pi
-
     n = psi_re.shape[0]
     norm0 = jnp.sqrt(jnp.sum(psi_re ** 2 + psi_im ** 2))
     vr = psi_re / norm0
@@ -136,6 +129,37 @@ def lanczos_expm(h_dense: jnp.ndarray, psi_re: jnp.ndarray,
     return out_r, out_i
 
 
+@partial(jax.jit, static_argnames=("m",))
+def lanczos_expm(h_dense: jnp.ndarray, psi_re: jnp.ndarray,
+                 psi_im: jnp.ndarray, dt: jnp.ndarray, m: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense-H Lanczos propagator (MXU matvecs)."""
+    def mv(re, im):
+        pr = jnp.dot(h_dense, re, precision=jax.lax.Precision.HIGHEST)
+        pi = jnp.dot(h_dense, im, precision=jax.lax.Precision.HIGHEST)
+        return pr, pi
+
+    return _lanczos_expm_impl(mv, psi_re, psi_im, dt, m)
+
+
+@partial(jax.jit, static_argnames=("m", "use_pallas"))
+def lanczos_expm_ell(diag: jnp.ndarray, elems: jnp.ndarray,
+                     tgt: jnp.ndarray, psi_re: jnp.ndarray,
+                     psi_im: jnp.ndarray, dt: jnp.ndarray, m: int,
+                     use_pallas: bool = True
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ELL-structure Lanczos propagator: fixed-degree sparse matvec
+    (Pallas kernel on TPU — see ``ops/pallas_spmv.py``), 24x less HBM
+    traffic than the dense matvec for N2-sized subspaces."""
+    from ..ops.pallas_spmv import ell_spmv
+
+    def mv(re, im):
+        return (ell_spmv(diag, elems, tgt, re, use_pallas),
+                ell_spmv(diag, elems, tgt, im, use_pallas))
+
+    return _lanczos_expm_impl(mv, psi_re, psi_im, dt, m)
+
+
 @partial(jax.jit, static_argnames=("shots", "n"))
 def _sample_counts_device(key, psi_re, psi_im, shots: int, n: int):
     logp = jnp.log(psi_re ** 2 + psi_im ** 2 + 1e-30)
@@ -183,6 +207,7 @@ class SampleBasedKrylovDiagonalization:
 
         self._h_sparse: Optional[sp.csr_matrix] = None
         self._h_dense_dev = None
+        self._ell = None
         self.key = jax.random.PRNGKey(self.config.seed)
 
     # ------------------------------------------------------------------
@@ -228,10 +253,51 @@ class SampleBasedKrylovDiagonalization:
                                     jnp.float32(self.config.time_step), m)
         return np.asarray(out_r) + 1j * np.asarray(out_i)
 
-    def evolve(self, psi: np.ndarray) -> np.ndarray:
-        if self.config.use_device_evolution and self.dim > 1:
+    def _ell_structure(self):
+        """ELL (diag, elems, target_idx) for the fixed-degree subspace matvec."""
+        if self._ell is None:
+            if self.is_molecular:
+                from ..utils.connection_table import build_connection_table
+                t = build_connection_table(self.h, max_entries=200_000_000)
+                if t is None:
+                    return None
+                self._ell = (t.diag, t.elems, t.target_idx)
+            else:
+                conn, elems = self.h.connections_np(self.subspace)
+                keys = self.h.keys(conn.reshape(-1, conn.shape[-1]))
+                pos = np.searchsorted(self._sorted_keys, keys)
+                pos = np.clip(pos, 0, self.dim - 1)
+                tgt = self._order[pos].reshape(elems.shape)
+                self._ell = (jnp.asarray(self.h.diagonal_np(self.subspace),
+                                         jnp.float32),
+                             jnp.asarray(elems, jnp.float32),
+                             jnp.asarray(tgt.astype(np.int32)))
+        return self._ell
+
+    def _evolve_device_ell(self, psi: np.ndarray) -> np.ndarray:
+        ell = self._ell_structure()
+        if ell is None:
             return self._evolve_device(psi)
-        return self._evolve_scipy(psi)
+        diag, elems, tgt = ell
+        re = jnp.asarray(np.real(psi), jnp.float32)
+        im = jnp.asarray(np.imag(psi), jnp.float32)
+        m = min(self.config.lanczos_dim, self.dim)
+        out_r, out_i = lanczos_expm_ell(
+            diag, elems, tgt, re, im, jnp.float32(self.config.time_step), m)
+        return np.asarray(out_r) + 1j * np.asarray(out_i)
+
+    def evolve(self, psi: np.ndarray) -> np.ndarray:
+        mode = self.config.evolution
+        if not self.config.use_device_evolution or self.dim <= 1:
+            mode = "scipy"
+        if mode == "auto":
+            # dense rides the MXU comfortably to ~20k; beyond, prefer ELL
+            mode = "dense" if self.dim <= 20_000 else "ell"
+        if mode == "scipy":
+            return self._evolve_scipy(psi)
+        if mode == "ell":
+            return self._evolve_device_ell(psi)
+        return self._evolve_device(psi)
 
     # ------------------------------------------------------------------
     # Sampling

@@ -103,6 +103,10 @@ class PipelineConfig:
     use_davidson: bool = True
     davidson_threshold: int = 500
 
+    # Checkpointing (stage-boundary resume; new capability — the reference
+    # has an unused save_interval only, SURVEY.md §5)
+    checkpoint_dir: Optional[str] = None
+
     # Misc
     seed: int = 0
     verbose: bool = True
@@ -181,6 +185,13 @@ class FlowGuidedKrylovPipeline:
         self.trainer: Optional[PhysicsGuidedFlowTrainer] = None
         self.nf_basis: Optional[np.ndarray] = None
 
+        from .utils.profiling import StageTimer
+        self.timer = StageTimer()
+        self.checkpoints = None
+        if self.config.checkpoint_dir:
+            from .utils.checkpoint import CheckpointManager
+            self.checkpoints = CheckpointManager(self.config.checkpoint_dir)
+
     # ------------------------------------------------------------------
     # Stage 1
     # ------------------------------------------------------------------
@@ -212,6 +223,7 @@ class FlowGuidedKrylovPipeline:
             "final_energy": history["energies"][-1],
             "n_epochs": len(history["energies"]),
             "wall_time": time.perf_counter() - t0,
+            "stage_times": self.timer.summary(),
         }
         return self.results["stage1"]
 
@@ -415,10 +427,23 @@ class FlowGuidedKrylovPipeline:
 
     def run(self) -> Dict:
         t0 = time.perf_counter()
-        self.train_flow_nqs()
-        self.extract_and_select_basis()
-        self.run_residual_expansion()
-        self.run_skqd()
+        with self.timer.span("stage1_train"):
+            self.train_flow_nqs()
+        if self.checkpoints is not None:
+            self.checkpoints.save_trainer("stage1", self.trainer)
+        with self.timer.span("stage2_select"):
+            self.extract_and_select_basis()
+        if self.checkpoints is not None:
+            self.checkpoints.save_stage("stage2", {
+                "nf_basis": self.nf_basis})
+        with self.timer.span("stage3_residual"):
+            self.run_residual_expansion()
+        if self.checkpoints is not None:
+            self.checkpoints.save_stage("stage3", {
+                "basis": self.results["stage3"]["basis"],
+                "energy": self.results["stage3"]["energy"]})
+        with self.timer.span("stage4_skqd"):
+            self.run_skqd()
 
         nf_energy = self.results["stage2"]["nf_energy"]
         residual_energy = self.results["stage3"]["energy"]
@@ -433,6 +458,7 @@ class FlowGuidedKrylovPipeline:
             "combined_energy": float(final),
             "final_energy": float(final),
             "wall_time": time.perf_counter() - t0,
+            "stage_times": self.timer.summary(),
         }
         if self.exact_energy is not None:
             out["exact_energy"] = self.exact_energy
