@@ -425,23 +425,46 @@ class FlowGuidedKrylovPipeline:
 
     # ------------------------------------------------------------------
 
-    def run(self) -> Dict:
+    def run(self, resume: bool = False) -> Dict:
+        # With resume=True and a configured checkpoint_dir, completed stages
+        # are restored from stage-boundary checkpoints instead of re-run
+        # (real stage resume; the reference's checkpointing was never wired
+        # in, SURVEY.md §5).
         t0 = time.perf_counter()
-        with self.timer.span("stage1_train"):
-            self.train_flow_nqs()
-        if self.checkpoints is not None:
-            self.checkpoints.save_trainer("stage1", self.trainer)
-        with self.timer.span("stage2_select"):
-            self.extract_and_select_basis()
-        if self.checkpoints is not None:
-            self.checkpoints.save_stage("stage2", {
-                "nf_basis": self.nf_basis})
-        with self.timer.span("stage3_residual"):
-            self.run_residual_expansion()
-        if self.checkpoints is not None:
-            self.checkpoints.save_stage("stage3", {
-                "basis": self.results["stage3"]["basis"],
-                "energy": self.results["stage3"]["energy"]})
+        ck = self.checkpoints
+        if resume and ck is not None and ck.has_stage("stage2"):
+            st = ck.load_stage("stage2")
+            self.nf_basis = np.asarray(st["nf_basis"], np.uint32)
+            e_nf = float(self.h.exact_ground_state(self.nf_basis, k=1)[0][0])
+            self.results["stage1"] = {"history": {}, "final_energy": e_nf,
+                                      "n_epochs": 0, "wall_time": 0.0,
+                                      "resumed": True}
+            self.results["stage2"] = {"nf_basis_size": len(self.nf_basis),
+                                      "nf_energy": e_nf, "resumed": True,
+                                      "selection_stats": {}, "audit": {}}
+        else:
+            with self.timer.span("stage1_train"):
+                self.train_flow_nqs()
+            if ck is not None:
+                ck.save_trainer("stage1", self.trainer)
+            with self.timer.span("stage2_select"):
+                self.extract_and_select_basis()
+            if ck is not None:
+                ck.save_stage("stage2", {"nf_basis": self.nf_basis})
+        if resume and ck is not None and ck.has_stage("stage3"):
+            st = ck.load_stage("stage3")
+            basis = np.asarray(st["basis"], np.uint32)
+            self.results["stage3"] = {
+                "energy": float(st["energy"]), "basis": basis,
+                "basis_size": int(len(basis)),
+                "energies": [], "n_iterations": 0, "resumed": True}
+        else:
+            with self.timer.span("stage3_residual"):
+                self.run_residual_expansion()
+            if ck is not None:
+                ck.save_stage("stage3", {
+                    "basis": self.results["stage3"]["basis"],
+                    "energy": self.results["stage3"]["energy"]})
         with self.timer.span("stage4_skqd"):
             self.run_skqd()
 
