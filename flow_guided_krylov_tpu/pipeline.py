@@ -209,6 +209,11 @@ class FlowGuidedKrylovPipeline:
             flow_lr=c.nf_lr, nqs_lr=c.nqs_lr,
             convergence_threshold=c.convergence_threshold,
             max_accumulated_basis=c.max_accumulated_basis,
+            # the periodic accumulated-basis diagonalization is a diagnostic;
+            # above ~4k determinants each eigsh costs tens of seconds, so
+            # throttle it for large caps
+            accumulated_energy_interval=(
+                50 if c.max_accumulated_basis <= 4096 else 200),
             seed=c.seed, verbose=c.verbose)
         self.trainer = PhysicsGuidedFlowTrainer(self.h, self.flow, self.nqs,
                                                 tcfg)
