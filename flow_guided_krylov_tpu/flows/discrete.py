@@ -18,7 +18,7 @@ molecular pipelines use :class:`ParticleConservingFlow`.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ molecular alpha/beta, 1 for spin chains), and connection enumeration is
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .base import Hamiltonian, PauliString
+from .base import Hamiltonian
 
 __all__ = ["HeisenbergHamiltonian", "TransverseFieldIsing",
            "create_heisenberg_hamiltonian", "create_tfim_hamiltonian",

@@ -13,8 +13,6 @@ Supports n_orb <= 31 (the benchmark systems need <= 13).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

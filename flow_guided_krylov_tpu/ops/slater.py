@@ -24,7 +24,6 @@ Convention: alpha orbitals on Jordan-Wigner qubits 0..n-1, beta on n..2n-1
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -10,7 +10,6 @@ fallbacks for environments without Orbax.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 from typing import Any, Dict, Optional

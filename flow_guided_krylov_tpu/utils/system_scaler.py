@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from enum import Enum
-from typing import Dict, Optional
+from typing import Dict
 
 __all__ = ["SystemTier", "QualityPreset", "SystemScaler",
            "AdaptiveAdjuster", "create_pipeline_config",
