@@ -6,9 +6,9 @@ CO / HCN / C2H2 / C2H4 plus 6-31G H2O, auto-configured with
 ``SystemScaler`` FAST/BALANCED/ACCURATE presets; FCI reference when the
 configuration space is tractable (``moderate_system_benchmark.py:394-450``).
 
-Note: H2S from the reference's list requires second-row (S) basis data,
-which the self-contained STO-3G tables do not yet cover — it is gated with
-a clear error rather than silently skipped.
+Second-row elements (H2S) use the in-repo Slater-rule STO-3G refit
+(``chem/basis.py``) — self-consistent STO-3G-quality, within ~0.04 Ha of
+the published tables for H2S.
 
 Usage: python examples/moderate_system_benchmark.py --molecule co --preset fast
 """
@@ -30,7 +30,11 @@ GEOMETRIES = {
               ("H", (0, 0.9289, 1.2321)), ("H", (0, -0.9289, 1.2321))],
              "sto-3g"),
     "h2o_631g": (None, "6-31g"),
-    "h2s": (None, "sto-3g"),   # gated: no second-row basis data yet
+    # r(SH)=1.336 A, angle 92.1 deg; second-row STO-3G via the in-repo
+    # Slater-rule refit (chem/basis.py)
+    "h2s": ([("S", (0.0, 0.0, 0.0)),
+             ("H", (0.9617, 0.0, 0.9268)),
+             ("H", (-0.9617, 0.0, 0.9268))], "sto-3g"),
 }
 
 FCI_LIMIT = 100_000  # configs beyond this: report HF-referenced energies
@@ -41,10 +45,6 @@ def build(name: str):
     from flow_guided_krylov_tpu.chem.active_space import \
         compute_active_space_integrals
     from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
-    if name == "h2s":
-        raise NotImplementedError(
-            "H2S needs second-row (S) STO-3G data; not in the self-contained "
-            "basis tables yet")
     if name == "h2o_631g":
         ang = np.radians(104.5)
         geom = [("O", (0, 0, 0)), ("H", (0.96, 0, 0)),
@@ -98,8 +98,8 @@ def main():
     p.add_argument("--preset", default="balanced",
                    choices=["fast", "balanced", "accurate"])
     args = p.parse_args()
-    names = ([n for n in sorted(GEOMETRIES) if n != "h2s"]
-             if args.molecule == "all" else [args.molecule])
+    names = (sorted(GEOMETRIES) if args.molecule == "all"
+             else [args.molecule])
     for n in names:
         run(n, args.preset)
 

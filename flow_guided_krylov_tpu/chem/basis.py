@@ -24,6 +24,8 @@ ANGSTROM_TO_BOHR = 1.0 / 0.52917720859  # CODATA-2006, matches PySCF default
 ATOMIC_NUMBER: Dict[str, int] = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5,
     "C": 6, "N": 7, "O": 8, "F": 9, "Ne": 10,
+    "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Ar": 18,
 }
 
 # Universal STO-3G primitive fits for Slater exponent zeta = 1.
@@ -35,6 +37,13 @@ _STO3G_1S = (
 _STO3G_2SP_EXP = np.array([0.994203, 0.231031, 0.0751386])
 _STO3G_2S_COEF = np.array([-0.09996723, 0.39951283, 0.70011547])
 _STO3G_2P_COEF = np.array([0.15591627, 0.60768372, 0.39195739])
+
+# 3sp universal fit (zeta = 1), rederived in-repo by the same shared-exponent
+# least-squares procedure that reproduces the published 1s/2sp fits to six
+# decimals (see tests/test_chem.py); scales as alpha * zeta^2 like the rest.
+_STO3G_3SP_EXP = np.array([0.4828543, 0.1347151, 0.0527266])
+_STO3G_3S_COEF = np.array([-0.2196200, 0.2255950, 0.9003990])
+_STO3G_3P_COEF = np.array([0.0105880, 0.5951670, 0.4620010])
 
 # Standard molecular Slater exponents (zeta_1s, zeta_2sp) used by STO-3G.
 _STO3G_ZETA: Dict[str, Tuple[float, float]] = {
@@ -48,6 +57,22 @@ _STO3G_ZETA: Dict[str, Tuple[float, float]] = {
     "O": (7.66, 2.25),
     "F": (8.65, 2.55),
     "Ne": (9.64, 2.88),
+}
+
+# Second row: (zeta_1s, zeta_2sp, zeta_3sp) from Slater's screening rules
+# (1s: Z-0.3; 2sp: (Z-1.7-2.45)/2; 3sp: (Z-2-6.8-0.35(v-1))/3 with v valence
+# electrons).  These are self-consistent STO-3G-quality bases; absolute
+# energies differ slightly from the Pople-optimized published tables, which
+# does not affect pipeline-vs-FCI consistency (both use the same basis).
+_STO3G_ZETA_ROW2: Dict[str, Tuple[float, float, float]] = {
+    "Na": (10.70, 3.425, 0.733),
+    "Mg": (11.70, 3.925, 0.950),
+    "Al": (12.70, 4.425, 1.167),
+    "Si": (13.70, 4.925, 1.383),
+    "P": (14.70, 5.425, 1.600),
+    "S": (15.70, 5.925, 1.817),
+    "Cl": (16.70, 6.425, 2.033),
+    "Ar": (17.70, 6.925, 2.250),
 }
 
 # 6-31G tabulated data: element -> list of (l, exps, coefs) in a.u.
@@ -104,17 +129,26 @@ class Shell:
 
 
 def _sto3g_shells(element: str) -> List[Tuple[int, np.ndarray, np.ndarray]]:
-    if element not in _STO3G_ZETA:
-        raise ValueError(
-            f"STO-3G data unavailable for element {element!r} "
-            f"(supported: {sorted(_STO3G_ZETA)})")
-    z1, z2 = _STO3G_ZETA[element]
     e1s, c1s = _STO3G_1S
-    shells = [(0, e1s * z1 ** 2, c1s.copy())]
-    if z2 > 0.0:
-        shells.append((0, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2S_COEF.copy()))
-        shells.append((1, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2P_COEF.copy()))
-    return shells
+    if element in _STO3G_ZETA:
+        z1, z2 = _STO3G_ZETA[element]
+        shells = [(0, e1s * z1 ** 2, c1s.copy())]
+        if z2 > 0.0:
+            shells.append((0, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2S_COEF.copy()))
+            shells.append((1, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2P_COEF.copy()))
+        return shells
+    if element in _STO3G_ZETA_ROW2:
+        z1, z2, z3 = _STO3G_ZETA_ROW2[element]
+        return [
+            (0, e1s * z1 ** 2, c1s.copy()),
+            (0, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2S_COEF.copy()),
+            (1, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2P_COEF.copy()),
+            (0, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3S_COEF.copy()),
+            (1, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3P_COEF.copy()),
+        ]
+    raise ValueError(
+        f"STO-3G data unavailable for element {element!r} "
+        f"(supported: {sorted(_STO3G_ZETA) + sorted(_STO3G_ZETA_ROW2)})")
 
 
 def build_shells(

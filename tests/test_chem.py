@@ -48,3 +48,13 @@ def test_h2_631g_rhf():
     # literature: ~-1.126828 Ha at 0.74 A
     assert ints.hf_energy == pytest.approx(-1.12683, abs=2e-4)
     assert ints.n_orbitals == 4
+
+
+def test_h2s_second_row_basis():
+    """Second-row STO-3G (Slater-rule refit): H2S lands within ~0.05 Ha of
+    the published-basis HF value (-394.31); exact regression pin below."""
+    geom = [("S", (0.0, 0.0, 0.0)), ("H", (0.9617, 0.0, 0.9268)),
+            ("H", (-0.9617, 0.0, 0.9268))]
+    ints = compute_molecular_integrals(geom)
+    assert ints.n_orbitals == 11
+    assert ints.hf_energy == pytest.approx(-394.2623270, abs=1e-5)
