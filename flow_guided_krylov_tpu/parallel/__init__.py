@@ -7,5 +7,10 @@ by XLA from sharding annotations.
 """
 
 from .mesh import make_mesh, data_sharding, replicated, P, NamedSharding
+from .sharded_matvec import (shard_hamiltonian_rows, sharded_matvec_fn,
+                             sharded_lanczos_expm,
+                             sharded_lanczos_ground_state)
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "P", "NamedSharding"]
+__all__ = ["make_mesh", "data_sharding", "replicated", "P", "NamedSharding",
+           "shard_hamiltonian_rows", "sharded_matvec_fn",
+           "sharded_lanczos_expm", "sharded_lanczos_ground_state"]

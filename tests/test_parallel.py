@@ -51,3 +51,39 @@ def test_sharded_training_step_matches_single_device():
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_lanczos_matches_host():
+    """Basis-sharded Lanczos ground state == host eigh, on the 8-dev mesh."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.parallel import (make_mesh,
+                                                 shard_hamiltonian_rows,
+                                                 sharded_lanczos_expm,
+                                                 sharded_lanczos_ground_state)
+    h = create_lih_hamiltonian()
+    basis = h.enumerate_basis()        # 225, pads to shards unevenly? 225
+    # pad rows to a multiple of 8 for even sharding
+    H = h.to_sparse(basis).toarray().astype(np.float32)
+    n = H.shape[0]
+    n_pad = ((n + 7) // 8) * 8
+    Hp = np.zeros((n_pad, n_pad), np.float32)
+    Hp[:n, :n] = H
+    Hp[n:, n:] = np.eye(n_pad - n) * 1e3   # push padding far up-spectrum
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=1)
+    Hs = shard_hamiltonian_rows(mesh, jnp.asarray(Hp))
+    e, v = sharded_lanczos_ground_state(mesh, Hs, m=80)
+    exact = np.linalg.eigh(H.astype(np.float64))[0][0]
+    assert e == pytest.approx(exact, abs=5e-4)
+
+    # evolution: exp(-i dt H)|HF> matches the scipy reference
+    import scipy.sparse.linalg as spla
+    psi0 = np.zeros(n_pad, np.float32)
+    from flow_guided_krylov_tpu.krylov import SampleBasedKrylovDiagonalization, SKQDConfig
+    skqd = SampleBasedKrylovDiagonalization(h, SKQDConfig())
+    idx = skqd._index_of(h.get_hf_state())[0]
+    psi0[idx] = 1.0
+    re, im = sharded_lanczos_expm(mesh, Hs, jnp.asarray(psi0),
+                                  jnp.zeros(n_pad, jnp.float32), 0.1, 30)
+    ref = spla.expm_multiply(-1j * 0.1 * h.to_sparse(basis), psi0[:n].astype(complex))
+    out = np.asarray(re)[:n] + 1j * np.asarray(im)[:n]
+    assert np.abs(out - ref).max() < 1e-5
