@@ -47,6 +47,7 @@ class PhysicsGuidedConfig:
     num_epochs: int = 400
     min_epochs: int = 100
     samples_per_batch: int = 2000
+    num_batches: int = 1               # gradient steps per epoch
     teacher_weight: float = 0.5
     physics_weight: float = 0.4
     entropy_weight: float = 0.1
@@ -344,18 +345,23 @@ class PhysicsGuidedFlowTrainer:
         c = self.config
         for epoch in range(c.num_epochs):
             t0 = time.perf_counter()
-            self.key, k = jax.random.split(self.key)
             temp = jnp.float32(self.temperature_at(epoch))
-            (self.flow_params, self.nqs_params, self.flow_opt_state,
-             self.nqs_opt_state, packed_u, n_unique, metrics) = self._step(
-                self.flow_params, self.nqs_params, self.flow_opt_state,
-                self.nqs_opt_state, k, temp, self._table_arrays())
+            batch_metrics = []
+            for _ in range(max(1, c.num_batches)):
+                self.key, k = jax.random.split(self.key)
+                (self.flow_params, self.nqs_params, self.flow_opt_state,
+                 self.nqs_opt_state, packed_u, n_unique, metrics) = \
+                    self._step(self.flow_params, self.nqs_params,
+                               self.flow_opt_state, self.nqs_opt_state,
+                               k, temp, self._table_arrays())
+                n_unique = int(n_unique)
+                packed_u = np.asarray(packed_u)
+                self._update_accumulated_basis(packed_u, n_unique)
+                batch_metrics.append(
+                    {k_: float(v) for k_, v in metrics.items()})
 
-            n_unique = int(n_unique)
-            packed_u = np.asarray(packed_u)
-            self._update_accumulated_basis(packed_u, n_unique)
-
-            m = {k_: float(v) for k_, v in metrics.items()}
+            m = {k_: sum(bm[k_] for bm in batch_metrics)
+                 / len(batch_metrics) for k_ in batch_metrics[0]}
             if self.energy_ema is None:
                 self.energy_ema = m["energy"]
             else:

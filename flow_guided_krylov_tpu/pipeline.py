@@ -203,6 +203,7 @@ class FlowGuidedKrylovPipeline:
         tcfg = PhysicsGuidedConfig(
             num_epochs=c.max_epochs, min_epochs=c.min_epochs,
             samples_per_batch=c.samples_per_batch,
+            num_batches=c.num_batches,
             teacher_weight=c.teacher_weight,
             physics_weight=c.physics_weight,
             entropy_weight=c.entropy_weight,
