@@ -1,7 +1,9 @@
 """Generative samplers (flows) and Stage-1 trainers."""
 
 from .discrete import DiscreteFlowSampler, MultiModalPrior
-from .particle_conserving import (ParticleConservingFlow, gumbel_topk,
+from .particle_conserving import (GumbelTopK, OrbitalScoringNetwork,
+                                  ParticleConservingFlow,
+                                  ParticleConservingFlowSampler, gumbel_topk,
                                   verify_particle_conservation)
 from .physics_guided_training import (PhysicsGuidedConfig,
                                       PhysicsGuidedFlowTrainer)
@@ -9,7 +11,8 @@ from .training import (FlowNQSTrainer, IncrementalHamiltonianCache,
                        InferenceNQSTrainer, TrainingConfig)
 
 __all__ = [
-    "ParticleConservingFlow", "gumbel_topk", "verify_particle_conservation",
+    "ParticleConservingFlow", "ParticleConservingFlowSampler", "gumbel_topk",
+    "GumbelTopK", "OrbitalScoringNetwork", "verify_particle_conservation",
     "PhysicsGuidedConfig", "PhysicsGuidedFlowTrainer",
     "DiscreteFlowSampler", "MultiModalPrior",
     "TrainingConfig", "FlowNQSTrainer", "InferenceNQSTrainer",

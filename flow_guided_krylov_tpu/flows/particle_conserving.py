@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-__all__ = ["ParticleConservingFlow", "gumbel_topk",
+__all__ = ["ParticleConservingFlow", "ParticleConservingFlowSampler",
+           "gumbel_topk", "GumbelTopK", "OrbitalScoringNetwork",
            "verify_particle_conservation"]
 
 
@@ -142,3 +143,48 @@ def verify_particle_conservation(configs, n_alpha: int, n_beta: int,
         "alpha_counts": (int(a.min()), int(a.max())) if len(a) else (0, 0),
         "beta_counts": (int(b.min()), int(b.max())) if len(b) else (0, 0),
     }
+
+
+class OrbitalScoringNetwork(nn.Module):
+    """Standalone per-orbital scorer (reference
+    ``particle_conserving_flow.py:81-150``): context encoder -> scorer MLP
+    -> per-orbital logits, learnable prior for the empty context, occupied
+    orbitals masked to -inf for autoregressive use."""
+
+    n_orbitals: int
+    hidden_dims: Sequence[int] = (256, 256)
+    context_dim: int = 64
+
+    @nn.compact
+    def __call__(self, context: Optional[jnp.ndarray] = None,
+                 batch_size: int = 1) -> jnp.ndarray:
+        prior = self.param("prior_logits", nn.initializers.zeros,
+                           (self.n_orbitals,))
+        if context is None:
+            return jnp.broadcast_to(prior[None, :],
+                                    (batch_size, self.n_orbitals))
+        h = nn.silu(nn.Dense(self.hidden_dims[0])(context))
+        h = nn.Dense(self.context_dim)(h)
+        for d in self.hidden_dims:
+            h = nn.silu(nn.Dense(d)(h))
+        logits = nn.Dense(self.n_orbitals)(h)
+        return jnp.where(context > 0.5, -jnp.inf, logits)
+
+
+class GumbelTopK:
+    """Object-style wrapper over :func:`gumbel_topk` holding a temperature
+    (reference ``particle_conserving_flow.py:24-78``)."""
+
+    def __init__(self, temperature: float = 1.0):
+        self.temperature = temperature
+
+    def __call__(self, key, logits, k: int, hard: bool = True):
+        return gumbel_topk(key, logits, k, jnp.float32(self.temperature),
+                           hard)
+
+
+# The reference wraps the flow in a `ParticleConservingFlowSampler`
+# (``particle_conserving_flow.py:373-462``) to present a uniform sampler
+# interface; the functional flax API already exposes sample / log_prob /
+# estimate_discrete_prob directly, so the wrapper is an alias.
+ParticleConservingFlowSampler = ParticleConservingFlow
