@@ -144,10 +144,23 @@ def run_poor_init(molecule: str):
 
 
 def run_631g():
-    """LiH/6-31G (3,025 valid configs)."""
+    """Larger-basis (6-31G) validation: H2O in a (10 orbital, 8 electron)
+    frozen-core active window -> 44,100 valid configs.
+
+    (The reference uses LiH/6-31G; the self-contained 6-31G tables cover
+    H/C/N/O, so the larger-basis experiment runs on water instead.)"""
+    import numpy as np
+    from flow_guided_krylov_tpu.chem import (compute_active_space_integrals,
+                                             compute_molecular_integrals)
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
     from flow_guided_krylov_tpu.krylov import (FlowGuidedSKQD, SKQDConfig,
                                                iterative_residual_expansion)
-    h = build("lih", basis="6-31g")
+    ang = np.radians(104.5)
+    geom = [("O", (0, 0, 0)), ("H", (0.96, 0, 0)),
+            ("H", (0.96 * np.cos(ang), 0.96 * np.sin(ang), 0))]
+    ints = compute_molecular_integrals(geom, basis="6-31g")
+    h = MolecularHamiltonian(
+        compute_active_space_integrals(ints, n_frozen=1, n_active=10))
     exact = h.fci_energy()
     pipe = train_nf(h, epochs=250, samples=2048)
     nf_mha = 1000 * (pipe.results["stage2"]["nf_energy"] - exact)
@@ -156,7 +169,8 @@ def run_631g():
     out = skqd.run_with_nf()
     res_exp = iterative_residual_expansion(h, pipe.nf_basis)
     res = {
-        "experiment": "631g", "molecule": "lih", "n_valid": h.n_valid_configs,
+        "experiment": "631g", "molecule": "h2o/6-31g",
+        "n_valid": h.n_valid_configs,
         "nf_mha": nf_mha,
         "nf_skqd_mha": 1000 * (out["best_stable_energy"] - exact),
         "nf_residual_mha": 1000 * (res_exp["energy"] - exact),
