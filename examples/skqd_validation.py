@@ -7,7 +7,7 @@ Counterpart of ``/root/reference/examples/skqd_validation.py`` (6 modes):
   provenance  — which configs NF finds vs Krylov finds vs both
   stretched   — stretched-geometry H2O / N2 (strong correlation)
   poor-init   — deliberately under-trained NF (few epochs), SKQD rescues
-  631g        — LiH in the larger 6-31G basis
+  631g        — larger 6-31G basis (H2O active window)
   headtohead  — Krylov expansion vs PT2 residual expansion from the same NF basis
 
 Usage: python examples/skqd_validation.py --experiment isolated --molecule lih
