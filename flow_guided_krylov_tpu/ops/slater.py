@@ -350,3 +350,159 @@ def connections_batch_np(packed: np.ndarray, tables: SlaterTables
     conn = np.concatenate(out_conn, axis=1)
     elems = np.concatenate(out_el, axis=1)
     return conn, elems
+
+
+# ---------------------------------------------------------------------------
+# Device connection kernel v2: gathers -> one-hot matmuls (MXU)
+# ---------------------------------------------------------------------------
+
+def make_connection_fn_mxu(tables: SlaterTables):
+    """MXU-formulated variant of :func:`make_connection_fn`.
+
+    TPU gathers are scalar-ish VPU work, so the ~1300 per-determinant h2e
+    lookups dominate the on-the-fly kernel.  This variant replaces them
+    with batched one-hot contractions against precomputed pair matrices:
+
+    * same-spin doubles:  E = OH_occ @ A2 @ OH_vir^T, where
+      A2[(p<r),(q<s)] = (pq|rs) - (ps|rq) is a (C(n,2), C(n,2)) matrix;
+    * opposite-spin doubles:  E = OH_a @ H2pair @ OH_b^T with
+      H2pair[p*n+q, r*n+s] = (pq|rs);
+    * singles keep the tiny effective-matrix gather.
+
+    Same outputs (targets, elements) and ordering as the v1 kernel.
+    """
+    n = tables.n_orb
+    ka, kb = tables.n_alpha, tables.n_beta
+    h1 = jnp.asarray(tables.h1, jnp.float32)
+    jj = jnp.asarray(tables.jj, jnp.float32)
+    ex = jnp.asarray(tables.ex, jnp.float32)
+    sing_a = jnp.asarray(tables.spec_a.singles)
+    sing_b = jnp.asarray(tables.spec_b.singles)
+    dbl_a = jnp.asarray(tables.spec_a.doubles)
+    dbl_b = jnp.asarray(tables.spec_b.doubles)
+    ab = jnp.asarray(tables.ab_grid)
+    one = jnp.uint32(1)
+
+    # pair index map (p < r) -> row of A2
+    import itertools as _it
+    pair_list = list(_it.combinations(range(n), 2))
+    n_pairs = len(pair_list)
+    pair_index_np = np.full((n, n), -1, np.int32)
+    for idx, (p, r) in enumerate(pair_list):
+        pair_index_np[p, r] = idx
+        pair_index_np[r, p] = idx
+    pair_index = jnp.asarray(pair_index_np)
+
+    # A2[(p<r), (q<s)] = (pq|rs) - (ps|rq)
+    a2_np = np.empty((n_pairs, n_pairs))
+    for i, (p, r) in enumerate(pair_list):
+        for j, (q, s) in enumerate(pair_list):
+            a2_np[i, j] = tables.h2[p, q, r, s] - tables.h2[p, s, r, q]
+    a2 = jnp.asarray(a2_np, jnp.float32)
+
+    # H2pair[p*n+q, r*n+s] = (pq|rs)
+    h2pair = jnp.asarray(
+        tables.h2.reshape(n * n, n * n), jnp.float32)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def flip(bits, p, q):
+        return bits ^ (one << p.astype(jnp.uint32)) \
+                    ^ (one << q.astype(jnp.uint32))
+
+    def per_det(pa, pb):
+        occ_a = occupancy(pa, n).astype(jnp.float32)
+        occ_b = occupancy(pb, n).astype(jnp.float32)
+        N = occ_a + occ_b
+        la, va = _occ_vir_lists_jax(pa, n, ka)
+        lb, vb = _occ_vir_lists_jax(pb, n, kb)
+        coul = (jj * N[None, None, :]).sum(-1)
+        m_a = h1 + coul - (ex * occ_a[None, None, :]).sum(-1)
+        m_b = h1 + coul - (ex * occ_b[None, None, :]).sum(-1)
+
+        def singles(bits, other_bits, lst, vlst, m, grid, alpha_channel):
+            p = lst[grid[:, 0]]
+            q = vlst[grid[:, 1]]
+            sign = parity_between(bits, p, q).astype(jnp.float32)
+            elems = m[p, q] * sign
+            nb_ = flip(bits, p, q)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits,
+                                                        nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape),
+                                  nb_], -1)
+            return conn, elems
+
+        conn_sa, el_sa = singles(pa, pb, la, va, m_a, sing_a, True)
+        conn_sb, el_sb = singles(pb, pa, lb, vb, m_b, sing_b, False)
+
+        def pair_rows(lst, pair_grid):
+            """one-hot (n_rows, n_pairs) selecting pair_index[lst_i, lst_j]."""
+            pi = pair_index[lst[pair_grid[:, 0]], lst[pair_grid[:, 1]]]
+            return (pi[:, None] == jnp.arange(n_pairs)[None, :]
+                    ).astype(jnp.float32), pi
+
+        def doubles_ss(bits, other_bits, lst, vlst, grid, spec, alpha_channel):
+            p = lst[grid[:, 0]]
+            r = lst[grid[:, 1]]
+            q = vlst[grid[:, 2]]
+            s = vlst[grid[:, 3]]
+            row_idx = pair_index[p, r]
+            col_idx = pair_index[q, s]
+            oh_rows = (row_idx[:, None] == jnp.arange(n_pairs)[None, :]
+                       ).astype(jnp.float32)
+            oh_cols = (col_idx[:, None] == jnp.arange(n_pairs)[None, :]
+                       ).astype(jnp.float32)
+            vals = jnp.einsum("cp,pq,cq->c", oh_rows, a2, oh_cols,
+                              precision=hp)
+            s1 = parity_between(bits, p, q)
+            mid = flip(bits, p, q)
+            s2 = parity_between(mid, r, s)
+            elems = vals * (s1 * s2).astype(jnp.float32)
+            nb_ = flip(mid, r, s)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits,
+                                                        nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape),
+                                  nb_], -1)
+            return conn, elems
+
+        conn_aa, el_aa = doubles_ss(pa, pb, la, va, dbl_a, tables.spec_a, True)
+        conn_bb, el_bb = doubles_ss(pb, pa, lb, vb, dbl_b, tables.spec_b,
+                                    False)
+
+        # opposite spin: E = OH_a @ H2pair @ OH_b^T over single-excitation
+        # pair indices p*n+q
+        pA = la[sing_a[:, 0]]
+        qA = va[sing_a[:, 1]]
+        pB = lb[sing_b[:, 0]]
+        qB = vb[sing_b[:, 1]]
+        ia = pA * n + qA
+        ib = pB * n + qB
+        oh_a = (ia[:, None] == jnp.arange(n * n)[None, :]).astype(jnp.float32)
+        oh_b = (ib[:, None] == jnp.arange(n * n)[None, :]).astype(jnp.float32)
+        e_ab = jnp.einsum("ap,pq,bq->ab", oh_a, h2pair, oh_b, precision=hp)
+        sign_a = parity_between(pa, pA, qA)
+        sign_b = parity_between(pb, pB, qB)
+        el_ab = (e_ab * (sign_a[:, None] * sign_b[None, :]
+                         ).astype(jnp.float32)).reshape(-1)
+        na_ = flip(pa, pA, qA)
+        nb2 = flip(pb, pB, qB)
+        conn_ab = jnp.stack([
+            jnp.broadcast_to(na_[:, None], (ia.shape[0], ib.shape[0])
+                             ).reshape(-1),
+            jnp.broadcast_to(nb2[None, :], (ia.shape[0], ib.shape[0])
+                             ).reshape(-1)], -1)
+
+        conn = jnp.concatenate([conn_sa, conn_sb, conn_aa, conn_bb, conn_ab],
+                               0)
+        elems = jnp.concatenate([el_sa, el_sb, el_aa, el_bb, el_ab], 0)
+        return conn, elems
+
+    @jax.jit
+    def connections(packed: jnp.ndarray):
+        return jax.vmap(per_det)(packed[:, 0], packed[:, 1])
+
+    return connections

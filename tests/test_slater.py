@@ -97,3 +97,15 @@ def test_connection_targets_unique_and_particle_conserving():
             assert bin(int(bb)).count("1") == 2
         # source not among targets
         assert keys_np(packed[b:b + 1])[0] not in ck
+
+
+def test_mxu_kernel_matches_v1():
+    """MXU one-hot-matmul connection kernel == gather kernel."""
+    from flow_guided_krylov_tpu.ops.slater import make_connection_fn_mxu
+    h1, h2, e_nuc = random_integrals(6, seed=5)
+    tables = build_tables(h1, h2, e_nuc, 3, 2)
+    packed, _ = enumerate_dets(6, 3, 2)
+    c1, e1 = make_connection_fn(tables)(packed)
+    c2, e2 = make_connection_fn_mxu(tables)(packed)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-6)
