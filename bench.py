@@ -49,18 +49,23 @@ def main():
     batch = basis[rng.permutation(len(basis))[:B]]
     C = h.n_connections
 
-    # device kernel
-    conn_fn = h.connections_device
+    # device kernels: gather formulation (v1) and one-hot-matmul MXU
+    # formulation (v2); report the faster
+    from flow_guided_krylov_tpu.ops.slater import (make_connection_fn,
+                                                   make_connection_fn_mxu)
     import jax.numpy as jnp
     batch_dev = jnp.asarray(batch)
-    out = conn_fn(batch_dev)
-    jax.block_until_ready(out)                 # compile + warm
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = conn_fn(batch_dev)
-    jax.block_until_ready(out)
-    dt_dev = (time.perf_counter() - t0) / iters
+    dt_dev = None
+    for fn in (make_connection_fn(h.tables), make_connection_fn_mxu(h.tables)):
+        out = fn(batch_dev)
+        jax.block_until_ready(out)             # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(batch_dev)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        dt_dev = dt if dt_dev is None else min(dt_dev, dt)
     rate_dev = B * C / dt_dev
 
     # host baseline (vectorized f64 numpy)
