@@ -124,12 +124,24 @@ def run_stretched(molecule: str, stretch: float = 1.5):
 
 
 def run_poor_init(molecule: str):
-    """Under-trained NF (degradation test) — SKQD must rescue."""
+    """Under-trained NF (degradation test) — SKQD must rescue.
+
+    The jitted trainer discovers small spaces completely even in a few
+    epochs, so to reproduce the reference's poor-NF scenario (131 of 225
+    LiH configs) the NF basis is additionally truncated to the highest-
+    weight ~55% of configurations."""
+    import numpy as np
     from flow_guided_krylov_tpu.krylov import FlowGuidedSKQD, SKQDConfig
     h = build(molecule)
     exact = h.fci_energy()
-    pipe = train_nf(h, epochs=50)            # deliberately short
-    skqd = FlowGuidedSKQD(h, pipe.nf_basis,
+    pipe = train_nf(h, epochs=30, samples=256)      # deliberately short
+    basis = pipe.nf_basis
+    keep = max(10, int(0.55 * len(basis)))
+    if len(basis) > keep:
+        diag = h.diagonal_np(basis)
+        order = np.argsort(diag)[:keep]             # lowest-diagonal subset
+        basis = basis[np.sort(order)]
+    skqd = FlowGuidedSKQD(h, basis,
                           SKQDConfig(max_krylov_dim=10,
                                      shots_per_krylov=50000))
     out = skqd.run_with_nf()
