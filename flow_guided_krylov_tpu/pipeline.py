@@ -200,6 +200,12 @@ class FlowGuidedKrylovPipeline:
         c = self.config
         if c.verbose:
             print("\n[Stage 1] NF-NQS co-training")
+        if not c.use_local_energy:
+            # subspace-energy objective (the reference's alternative mode,
+            # ``pipeline.py:169`` / ``training.py:59``): train on the exact
+            # Rayleigh quotient over the accumulated basis instead of
+            # sampled VMC local energies
+            return self._train_flow_nqs_subspace()
         tcfg = PhysicsGuidedConfig(
             num_epochs=c.max_epochs, min_epochs=c.min_epochs,
             samples_per_batch=c.samples_per_batch,
@@ -230,6 +236,31 @@ class FlowGuidedKrylovPipeline:
             "n_epochs": len(history["energies"]),
             "wall_time": time.perf_counter() - t0,
             "stage_times": self.timer.summary(),
+        }
+        return self.results["stage1"]
+
+    def _train_flow_nqs_subspace(self) -> Dict:
+        from .flows.training import FlowNQSTrainer, TrainingConfig
+        c = self.config
+        tcfg = TrainingConfig(
+            num_epochs=c.max_epochs, min_epochs=c.min_epochs,
+            samples_per_batch=c.samples_per_batch,
+            nqs_lr=c.nqs_lr, flow_lr=c.nf_lr,
+            max_basis_size=c.max_accumulated_basis,
+            seed=c.seed, verbose=c.verbose)
+        trainer = FlowNQSTrainer(self.h, self.flow, self.nqs, tcfg)
+        t0 = time.perf_counter()
+        history = trainer.train()
+        # adapt the legacy trainer to the stage-2 interface
+        trainer.accumulated_basis = trainer.cache.basis
+        trainer.nqs_params = trainer.nqs_params
+        self.trainer = trainer
+        self.results["stage1"] = {
+            "history": history,
+            "final_energy": history["energies"][-1],
+            "n_epochs": len(history["energies"]),
+            "wall_time": time.perf_counter() - t0,
+            "mode": "subspace_energy",
         }
         return self.results["stage1"]
 
