@@ -195,3 +195,97 @@ def extract_coeffs_and_paulis(hamiltonian) -> Tuple[List[float], List[str]]:
     else:
         raise TypeError(f"unsupported Hamiltonian {type(hamiltonian)}")
     return coeffs, words
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) kernels — static-shape spin connections for the jitted
+# training hot path (molecular systems get these from ops/slater.py)
+# ---------------------------------------------------------------------------
+
+def _spin_device_ops(ham):
+    """Build (diagonal_fn, connections_fn) closures in jnp for a spin H."""
+    import jax
+    import jax.numpy as jnp
+
+    n = ham.n_sites
+
+    def spins_of(packed):
+        shifts = jnp.arange(n, dtype=jnp.uint32)
+        bits = ((packed[:, None] >> shifts) & jnp.uint32(1)).astype(
+            jnp.float32)
+        return 2.0 * bits - 1.0
+
+    if isinstance(ham, TransverseFieldIsing):
+        edges = jnp.asarray(np.array(ham.edges, np.int32).reshape(-1, 2))
+        V, hf = float(ham.V), float(ham.h)
+
+        @jax.jit
+        def diagonal(packed):
+            s = spins_of(packed[:, 0])
+            return -V * jnp.sum(s[:, edges[:, 0]] * s[:, edges[:, 1]], -1)
+
+        flips = jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)
+
+        @jax.jit
+        def connections(packed):
+            conn = (packed[:, 0:1] ^ flips[None, :])[..., None]
+            elems = jnp.full((packed.shape[0], n), -hf, jnp.float32)
+            return conn, elems
+
+        return diagonal, connections
+
+    if isinstance(ham, HeisenbergHamiltonian):
+        bonds = jnp.asarray(np.array(ham.bonds, np.int32).reshape(-1, 2))
+        Jz = float(ham.Jz)
+        Jxy4 = float((ham.Jx + ham.Jy) / 4.0)
+        hz = jnp.asarray(ham.h_z, jnp.float32)
+        hx = jnp.asarray(ham.h_x, jnp.float32)
+        has_x = bool(np.any(np.abs(ham.h_x) > 1e-10))
+
+        @jax.jit
+        def diagonal(packed):
+            s = spins_of(packed[:, 0])
+            zz = Jz / 4.0 * jnp.sum(s[:, bonds[:, 0]] * s[:, bonds[:, 1]], -1)
+            return zz + jnp.sum(s * (hz / 2.0)[None, :], -1)
+
+        bond_masks = ((jnp.uint32(1) << bonds[:, 0].astype(jnp.uint32))
+                      | (jnp.uint32(1) << bonds[:, 1].astype(jnp.uint32)))
+        flips = jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)
+
+        @jax.jit
+        def connections(packed):
+            b = packed[:, 0]
+            bi = (b[:, None] >> bonds[None, :, 0].astype(jnp.uint32)) & 1
+            bj = (b[:, None] >> bonds[None, :, 1].astype(jnp.uint32)) & 1
+            anti = (bi != bj).astype(jnp.float32)
+            conn_b = (b[:, None] ^ bond_masks[None, :])[..., None]
+            el_b = anti * Jxy4
+            if has_x:
+                conn_x = (b[:, None] ^ flips[None, :])[..., None]
+                el_x = jnp.broadcast_to((hx / 2.0)[None, :],
+                                        (b.shape[0], n))
+                return (jnp.concatenate([conn_b, conn_x], 1),
+                        jnp.concatenate([el_b, el_x], 1))
+            return conn_b, el_b
+
+        return diagonal, connections
+
+    raise TypeError(f"no device kernels for {type(ham)}")
+
+
+def _install_device_ops(self):
+    if getattr(self, "_device_ops", None) is None:
+        self._device_ops = _spin_device_ops(self)
+    return self._device_ops
+
+
+def _diagonal_device(self, packed):
+    return _install_device_ops(self)[0](packed)
+
+
+def _connections_device_fn(self):
+    return _install_device_ops(self)[1]
+
+
+_SpinBase.diagonal_device = _diagonal_device
+_SpinBase.connections_device = property(_connections_device_fn)

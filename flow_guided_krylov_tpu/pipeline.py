@@ -169,19 +169,33 @@ class FlowGuidedKrylovPipeline:
         self.config = config or PipelineConfig()
         self.exact_energy = exact_energy
         self.results: Dict = {}
+        # molecular systems use the particle-conserving flow; general spin
+        # systems fall back to the discrete RealNVP sampler (the reference's
+        # routing, ``pipeline.py:344-363``)
+        self.is_molecular = hasattr(hamiltonian, "n_alpha")
 
-        self.n_valid = hamiltonian.n_valid_configs
+        self.n_valid = (hamiltonian.n_valid_configs if self.is_molecular
+                        else 1 << hamiltonian.n_sites)
         self.config.adapt_to_system_size(self.n_valid)
 
         c = self.config
-        self.flow = ParticleConservingFlow(
-            n_orbitals=hamiltonian.n_orbitals,
-            n_alpha=hamiltonian.n_alpha,
-            n_beta=hamiltonian.n_beta,
-            hidden_dims=tuple(c.nf_hidden_dims))
-        self.nqs = DenseNQS(num_sites=2 * hamiltonian.n_orbitals,
-                            hidden_dims=tuple(c.nqs_hidden_dims))
-        self.hf_state = hamiltonian.get_hf_state()
+        if self.is_molecular and c.use_particle_conserving_flow:
+            self.flow = ParticleConservingFlow(
+                n_orbitals=hamiltonian.n_orbitals,
+                n_alpha=hamiltonian.n_alpha,
+                n_beta=hamiltonian.n_beta,
+                hidden_dims=tuple(c.nf_hidden_dims))
+            self.nqs = DenseNQS(num_sites=2 * hamiltonian.n_orbitals,
+                                hidden_dims=tuple(c.nqs_hidden_dims))
+            self.hf_state = hamiltonian.get_hf_state()
+        else:
+            from .flows.discrete import DiscreteFlowSampler
+            n = hamiltonian.n_sites
+            self.flow = DiscreteFlowSampler(
+                n_sites=n, hidden=max(64, c.nf_hidden_dims[0] // 2))
+            self.nqs = DenseNQS(num_sites=n,
+                                hidden_dims=tuple(c.nqs_hidden_dims))
+            self.hf_state = self._spin_reference_state()
         self.trainer: Optional[PhysicsGuidedFlowTrainer] = None
         self.nf_basis: Optional[np.ndarray] = None
 
@@ -200,6 +214,8 @@ class FlowGuidedKrylovPipeline:
         c = self.config
         if c.verbose:
             print("\n[Stage 1] NF-NQS co-training")
+        if not (self.is_molecular and c.use_particle_conserving_flow):
+            return self._train_flow_nqs_spin()
         if not c.use_local_energy:
             # subspace-energy objective (the reference's alternative mode,
             # ``pipeline.py:169`` / ``training.py:59``): train on the exact
@@ -236,6 +252,37 @@ class FlowGuidedKrylovPipeline:
             "n_epochs": len(history["energies"]),
             "wall_time": time.perf_counter() - t0,
             "stage_times": self.timer.summary(),
+        }
+        return self.results["stage1"]
+
+    def _spin_reference_state(self) -> np.ndarray:
+        """Lowest-diagonal product state among zeros/ones/Neel."""
+        n = self.h.n_sites
+        neel = sum(1 << i for i in range(0, n, 2))
+        cands = np.array([[0], [(1 << n) - 1], [neel]], np.uint32)
+        diag = self.h.diagonal_np(cands)
+        return cands[int(np.argmin(diag))]
+
+    def _train_flow_nqs_spin(self) -> Dict:
+        from .flows.spin_training import SpinFlowTrainer
+        c = self.config
+        tcfg = PhysicsGuidedConfig(
+            num_epochs=c.max_epochs, min_epochs=c.min_epochs,
+            samples_per_batch=c.samples_per_batch,
+            teacher_weight=c.teacher_weight, physics_weight=c.physics_weight,
+            entropy_weight=c.entropy_weight, flow_lr=c.nf_lr,
+            nqs_lr=c.nqs_lr, convergence_threshold=c.convergence_threshold,
+            max_accumulated_basis=c.max_accumulated_basis,
+            seed=c.seed, verbose=c.verbose)
+        self.trainer = SpinFlowTrainer(self.h, self.flow, self.nqs, tcfg)
+        t0 = time.perf_counter()
+        history = self.trainer.train()
+        self.results["stage1"] = {
+            "history": history,
+            "final_energy": history["energies"][-1],
+            "n_epochs": len(history["energies"]),
+            "wall_time": time.perf_counter() - t0,
+            "mode": "spin",
         }
         return self.results["stage1"]
 
@@ -281,6 +328,9 @@ class FlowGuidedKrylovPipeline:
             raise RuntimeError("run train_flow_nqs first")
         accumulated = self.trainer.accumulated_basis
 
+        if not self.is_molecular:
+            return self._select_basis_spin(accumulated)
+
         # particle-conservation audit (reference ``pipeline.py:438-448``)
         from .ops.bits import unpack_np
         occ = unpack_np(accumulated, self.h.n_orbitals)
@@ -318,6 +368,34 @@ class FlowGuidedKrylovPipeline:
             "nf_energy": e_nf,
             "selection_stats": stats,
             "audit": audit,
+        }
+        if c.verbose:
+            err = (f"  err={1000 * (e_nf - self.exact_energy):+.3f} mHa"
+                   if self.exact_energy is not None else "")
+            print(f"  selected {len(selected)} configs, E={e_nf:.6f}{err}")
+        return self.results["stage2"]
+
+    def _select_basis_spin(self, accumulated: np.ndarray) -> Dict:
+        """Spin-system stage 2: top-|psi|^2 selection (no excitation ranks)."""
+        import jax.numpy as jnp
+        c = self.config
+        n = self.h.n_sites
+        shifts = np.arange(n, dtype=np.uint32)
+        occ = ((accumulated[:, 0:1] >> shifts) & 1).astype(np.float32)
+        la = np.asarray(self.nqs.apply(self.trainer.nqs_params,
+                                       jnp.asarray(occ)))
+        if len(accumulated) > c.max_diverse_configs:
+            keep = np.sort(np.argsort(-la)[:c.max_diverse_configs])
+            selected = accumulated[keep]
+        else:
+            selected = accumulated
+        if self.hf_state[0] not in selected[:, 0]:
+            selected = np.concatenate([self.hf_state[None, :], selected])
+        self.nf_basis = selected
+        e_nf = float(self.h.exact_ground_state(selected, k=1)[0][0])
+        self.results["stage2"] = {
+            "nf_basis_size": int(len(selected)), "nf_energy": e_nf,
+            "selection_stats": {"mode": "top_psi2"}, "audit": {"spin": True},
         }
         if c.verbose:
             err = (f"  err={1000 * (e_nf - self.exact_energy):+.3f} mHa"
@@ -433,7 +511,8 @@ class FlowGuidedKrylovPipeline:
                        shots_per_krylov=c.shots_per_krylov,
                        regularization=c.skqd_regularization,
                        seed=c.seed,
-                       verbose=c.verbose))
+                       verbose=c.verbose),
+            initial_state=self.hf_state)
         out = skqd.run_with_nf()
 
         skqd_energy = out["best_stable_energy"]
