@@ -200,10 +200,16 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
     """Loop expansion rounds with stagnation-based early stopping
     (reference ``residual_expansion.py:260-302`` + pipeline loop
     ``pipeline.py:527-596``)."""
+    import dataclasses
     cfg = config or ResidualExpansionConfig()
+    basis = np.atleast_2d(np.asarray(initial_basis, np.uint32))
+    # never let a large seed basis turn expansion into a no-op: the cap
+    # must leave room for the requested rounds
+    needed = len(basis) + cfg.max_iterations * cfg.configs_per_iteration
+    if cfg.max_basis_size < needed:
+        cfg = dataclasses.replace(cfg, max_basis_size=needed)
     expander = (SelectedCIExpander(hamiltonian, cfg) if use_pt2
                 else ResidualBasedExpander(hamiltonian, cfg))
-    basis = np.atleast_2d(np.asarray(initial_basis, np.uint32))
     energies = []
     best_energy = np.inf
     best_basis = basis
