@@ -19,7 +19,8 @@ from .basis import build_shells, nuclear_charges, nuclear_repulsion
 from .integrals import (eri_tensor, expand_shells, kinetic_matrix,
                         nuclear_attraction_matrix, overlap_matrix)
 
-__all__ = ["MolecularIntegrals", "compute_molecular_integrals", "run_rhf"]
+__all__ = ["MolecularIntegrals", "compute_molecular_integrals", "run_rhf",
+           "run_rohf"]
 
 
 @dataclass
@@ -92,6 +93,62 @@ def run_rhf(S: np.ndarray, Hcore: np.ndarray, eri: np.ndarray,
     return float(E), C, eps
 
 
+def run_rohf(S: np.ndarray, Hcore: np.ndarray, eri: np.ndarray,
+             n_alpha: int, n_beta: int, e_nuc: float,
+             max_cycles: int = 300, conv_tol: float = 1e-10,
+             ) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Restricted open-shell HF (Guest-Saunders effective Fock).
+
+    Counterpart of the reference's ``scf.ROHF`` path
+    (``molecular.py:978-981``).  Returns (E_total, C, mo_energies);
+    n_alpha >= n_beta (alpha carries the open shell).
+    """
+    assert n_alpha >= n_beta
+    s_vals, s_vecs = np.linalg.eigh(S)
+    keep = s_vals > 1e-10
+    X = s_vecs[:, keep] / np.sqrt(s_vals[keep])
+
+    def solve(F):
+        eps, Cp = np.linalg.eigh(X.T @ F @ X)
+        return eps, X @ Cp
+
+    eps, C = solve(Hcore)
+    E_old = 0.0
+    for cycle in range(max_cycles):
+        Ca = C[:, :n_alpha]
+        Cb = C[:, :n_beta]
+        Da = Ca @ Ca.T
+        Db = Cb @ Cb.T
+        Dt = Da + Db
+        J = np.einsum("pqrs,rs->pq", eri, Dt, optimize=True)
+        Ka = np.einsum("prqs,rs->pq", eri, Da, optimize=True)
+        Kb = np.einsum("prqs,rs->pq", eri, Db, optimize=True)
+        Fa = Hcore + J - Ka
+        Fb = Hcore + J - Kb
+        E = (0.5 * np.sum(Da * (Hcore + Fa))
+             + 0.5 * np.sum(Db * (Hcore + Fb)) + e_nuc)
+
+        # Guest-Saunders effective Fock in the current MO basis
+        Fa_mo = C.T @ Fa @ C
+        Fb_mo = C.T @ Fb @ C
+        n = C.shape[1]
+        R = 0.5 * (Fa_mo + Fb_mo)
+        c_idx = slice(0, n_beta)            # doubly occupied
+        o_idx = slice(n_beta, n_alpha)      # singly occupied (alpha)
+        v_idx = slice(n_alpha, n)           # virtual
+        R[c_idx, o_idx] = Fb_mo[c_idx, o_idx]
+        R[o_idx, c_idx] = Fb_mo[o_idx, c_idx]
+        R[o_idx, v_idx] = Fa_mo[o_idx, v_idx]
+        R[v_idx, o_idx] = Fa_mo[v_idx, o_idx]
+
+        eps, U = np.linalg.eigh(0.5 * (R + R.T))
+        C = C @ U
+        if abs(E - E_old) < conv_tol and cycle > 2:
+            break
+        E_old = E
+    return float(E), C, eps
+
+
 def _transform_to_mo(Hcore: np.ndarray, eri: np.ndarray, C: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:
     h1 = C.T @ Hcore @ C
@@ -120,11 +177,10 @@ def compute_molecular_integrals(
 ) -> MolecularIntegrals:
     """Drop-in equivalent of the reference's PySCF wrapper.
 
-    Geometry is in Angstrom; ``spin`` is 2S.  Only closed-shell RHF
-    (spin == 0) is implemented — all benchmark molecules are closed shell.
+    Geometry is in Angstrom; ``spin`` is 2S: 0 -> RHF, >0 -> ROHF with
+    ``spin`` unpaired alpha electrons (the reference's routing,
+    ``molecular.py:976-981``).
     """
-    if spin != 0:
-        raise NotImplementedError("only closed-shell RHF (spin=0) is supported")
 
     if cache_dir is None:
         cache_dir = os.environ.get(
@@ -153,24 +209,29 @@ def compute_molecular_integrals(
     eri = eri_tensor(funcs)
 
     n_electrons = int(np.sum(charges)) - charge
-    if n_electrons % 2 != 0:
-        raise NotImplementedError("odd electron counts need ROHF")
-    n_occ = n_electrons // 2
+    if (n_electrons - spin) % 2 != 0:
+        raise ValueError(
+            f"electron count {n_electrons} inconsistent with spin={spin}")
+    n_alpha = (n_electrons + spin) // 2
+    n_beta = (n_electrons - spin) // 2
 
-    e_hf, C, eps = run_rhf(S, Hcore, eri, n_occ, e_nuc)
+    if spin == 0:
+        e_hf, C, eps = run_rhf(S, Hcore, eri, n_alpha, e_nuc)
+    else:
+        e_hf, C, eps = run_rohf(S, Hcore, eri, n_alpha, n_beta, e_nuc)
     h1, h2 = _transform_to_mo(Hcore, eri, C)
 
     result = MolecularIntegrals(
         h1e=h1, h2e=h2, nuclear_repulsion=e_nuc,
         n_electrons=n_electrons, n_orbitals=h1.shape[0],
-        n_alpha=n_occ, n_beta=n_occ,
+        n_alpha=n_alpha, n_beta=n_beta,
         hf_energy=e_hf, mo_energies=eps)
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez_compressed(
             cache_path, h1e=h1, h2e=h2, e_nuc=e_nuc, n_elec=n_electrons,
-            n_orb=h1.shape[0], n_alpha=n_occ, n_beta=n_occ, e_hf=e_hf,
+            n_orb=h1.shape[0], n_alpha=n_alpha, n_beta=n_beta, e_hf=e_hf,
             mo_energies=eps)
     except OSError:
         pass

@@ -58,3 +58,31 @@ def test_h2s_second_row_basis():
     ints = compute_molecular_integrals(geom)
     assert ints.n_orbitals == 11
     assert ints.hf_energy == pytest.approx(-394.2623270, abs=1e-5)
+
+
+def test_rohf_li_atom():
+    """Open-shell ROHF: Li doublet (literature ~ -7.31553); the aufbau
+    determinant energy must equal E_ROHF exactly (single-determinant
+    invariant), and FCI must fall below it."""
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals([("Li", (0, 0, 0))], spin=1)
+    assert ints.n_alpha == 2 and ints.n_beta == 1
+    assert ints.hf_energy == pytest.approx(-7.315526, abs=1e-5)
+    h = MolecularHamiltonian(ints)
+    e_det = h.diagonal_np(h.get_hf_state()[None, :])[0]
+    assert e_det == pytest.approx(ints.hf_energy, abs=1e-8)
+    assert h.fci_energy() < ints.hf_energy + 1e-12
+
+
+def test_rohf_oh_radical():
+    ints = compute_molecular_integrals([("O", (0, 0, 0)),
+                                        ("H", (0, 0, 0.97))], spin=1)
+    assert ints.hf_energy == pytest.approx(-74.3616, abs=2e-3)
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    h = MolecularHamiltonian(ints)
+    assert h.fci_energy() < ints.hf_energy
+
+
+def test_spin_charge_consistency():
+    with pytest.raises(ValueError):
+        compute_molecular_integrals([("Li", (0, 0, 0))], spin=0)
