@@ -162,6 +162,18 @@ def build_shells(
         center = np.asarray(xyz, dtype=np.float64) * ANGSTROM_TO_BOHR
         if basis in ("sto-3g", "sto3g"):
             raw = _sto3g_shells(element)
+        elif basis in ("6-31g*", "631g*", "6-31gs", "631gs"):
+            if element == "H":
+                raw = [(l, np.asarray(e, float), np.asarray(c, float))
+                       for l, e, c in _631G["H"]]
+            elif element in _631G:
+                raw = [(l, np.asarray(e, float), np.asarray(c, float))
+                       for l, e, c in _631G[element]]
+                # polarization: single Cartesian-d, exponent 0.8 (C/N/O/F)
+                raw.append((2, np.array([0.8]), np.array([1.0])))
+            else:
+                raise ValueError(
+                    f"6-31G* data unavailable for element {element!r}")
         elif basis in ("6-31g", "631g"):
             if element not in _631G:
                 raise ValueError(

@@ -68,6 +68,10 @@ def expand_shells(shells: Sequence[Shell]) -> List[BasisFunction]:
             cart = [(0, 0, 0)]
         elif sh.l == 1:
             cart = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+        elif sh.l == 2:
+            # 6 Cartesian d components (the Pople-basis convention)
+            cart = [(2, 0, 0), (0, 2, 0), (0, 0, 2),
+                    (1, 1, 0), (1, 0, 1), (0, 1, 1)]
         else:
             raise NotImplementedError(f"l={sh.l} shells not supported")
         for lmn in cart:

@@ -75,8 +75,8 @@ def eri_tensor_native(funcs: List) -> Optional[np.ndarray]:
     if lib is None:
         return None
     n = len(funcs)
-    if any(sum(f.lmn) > 2 for f in funcs):
-        return None  # beyond the engine's LMAX; fall back to Python
+    if any(max(f.lmn) > 2 for f in funcs):
+        return None  # beyond the engine's per-direction LMAX; Python fallback
     lmn = np.array([f.lmn for f in funcs], np.int32)
     centers = np.ascontiguousarray(
         np.array([f.center for f in funcs], np.float64))

@@ -86,3 +86,13 @@ def test_rohf_oh_radical():
 def test_spin_charge_consistency():
     with pytest.raises(ValueError):
         compute_molecular_integrals([("Li", (0, 0, 0))], spin=0)
+
+
+def test_h2o_631gstar_with_d_shells():
+    """6-31G* (Cartesian-d polarization): literature H2O RHF ~ -76.0107."""
+    ang = np.radians(104.5)
+    geom = [("O", (0.0, 0.0, 0.0)), ("H", (0.96, 0.0, 0.0)),
+            ("H", (0.96 * np.cos(ang), 0.96 * np.sin(ang), 0.0))]
+    ints = compute_molecular_integrals(geom, basis="6-31g*")
+    assert ints.n_orbitals == 19          # 13 (6-31G) + 6 Cartesian d
+    assert ints.hf_energy == pytest.approx(-76.0107, abs=2e-3)
