@@ -78,9 +78,27 @@ def make_ell_spmv(n: int, c: int, tile: int = 512):
     return spmv
 
 
+_PALLAS_OK = None
+
+
+def _pallas_supported() -> bool:
+    """One-time probe: does the Pallas kernel compile on this backend?"""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            spmv = make_ell_spmv(8, 3, tile=8)
+            out = spmv(jnp.zeros(8), jnp.ones((8, 3)),
+                       jnp.zeros((8, 3), jnp.int32), jnp.ones(8))
+            jax.block_until_ready(out)
+            _PALLAS_OK = True
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def ell_spmv(diag, elems, tgt, psi, use_pallas: bool = True):
-    """ELL matvec; Pallas kernel on TPU, XLA gather elsewhere."""
-    if use_pallas and jax.default_backend() == "tpu":
+    """ELL matvec; Pallas kernel on TPU (when supported), XLA gather else."""
+    if use_pallas and jax.default_backend() == "tpu" and _pallas_supported():
         n, c = elems.shape
         return make_ell_spmv(n, c)(diag, elems, tgt, psi)
     return ell_spmv_reference(diag, elems, tgt, psi)
