@@ -11,10 +11,10 @@ a good Pallas target: ``psi`` fits in VMEM for any enumerable subspace
 ``tgt`` tiles stream from HBM — 24x less HBM traffic than the dense
 matvec for N2 (609 nonzeros vs 14,400 columns per row).
 
-Used by the SKQD Lanczos propagator when the dense subspace H would not
-fit in HBM; also the building block for basis-sharded matvecs (each shard
-holds a row block, psi is all-gathered).  The XLA-gather formulation is
-the reference implementation and the fallback on CPU.
+Mosaic only lowers 2D gathers, so ``psi`` is carried as an
+(n_pad/128, 128) tile and indexed as ``psi2d[idx // 128, idx % 128]``.
+A one-time capability probe falls back to the XLA-gather formulation when
+the kernel cannot compile on the current backend.
 """
 
 from __future__ import annotations
@@ -36,13 +36,22 @@ def make_ell_spmv(n: int, c: int, tile: int = 512):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert tile % 128 == 0 or tile >= 8, "tile must suit TPU tiling"
+    if tile % 128 != 0:
+        tile = ((tile + 127) // 128) * 128
     n_pad = ((n + tile - 1) // tile) * tile
     grid = (n_pad // tile,)
 
-    def kernel(psi_ref, diag_ref, psi_tile_ref, elems_ref, tgt_ref, out_ref):
-        psi = psi_ref[:]                               # VMEM-resident vector
-        vals = jnp.take(psi, tgt_ref[:].reshape(-1), axis=0)
-        vals = vals.reshape(tgt_ref.shape)
+    def kernel(psi2d_ref, diag_ref, psi_tile_ref, elems_ref, tgt_ref,
+               out_ref):
+        # Mosaic supports only 2D gathers: psi lives as (n_pad/128, 128)
+        # in VMEM and is indexed as psi2d[idx // 128, idx % 128].
+        psi2d = psi2d_ref[:]
+        idx = tgt_ref[:]
+        flat = idx.reshape(-1)
+        rows = jnp.take(psi2d, flat // 128, axis=0)
+        vals = jnp.take_along_axis(rows, (flat % 128)[:, None], axis=1)
+        vals = vals[:, 0].reshape(idx.shape)
         out_ref[:] = (diag_ref[:] * psi_tile_ref[:]
                       + jnp.sum(elems_ref[:] * vals, axis=1))
 
@@ -50,7 +59,7 @@ def make_ell_spmv(n: int, c: int, tile: int = 512):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # psi (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # psi2d full
             pl.BlockSpec((tile,), lambda i: (i,),
                          memory_space=pltpu.VMEM),              # diag tile
             pl.BlockSpec((tile,), lambda i: (i,),
@@ -72,7 +81,8 @@ def make_ell_spmv(n: int, c: int, tile: int = 512):
         psi_p = jnp.pad(psi, (0, pad))
         elems_p = jnp.pad(elems, ((0, pad), (0, 0)))
         tgt_p = jnp.pad(tgt, ((0, pad), (0, 0)))
-        out = call(psi_p, diag_p, psi_p, elems_p, tgt_p)
+        psi2d = psi_p.reshape(n_pad // 128, 128)
+        out = call(psi2d, diag_p, psi_p, elems_p, tgt_p)
         return out[:n]
 
     return spmv
@@ -86,9 +96,9 @@ def _pallas_supported() -> bool:
     global _PALLAS_OK
     if _PALLAS_OK is None:
         try:
-            spmv = make_ell_spmv(8, 3, tile=8)
-            out = spmv(jnp.zeros(8), jnp.ones((8, 3)),
-                       jnp.zeros((8, 3), jnp.int32), jnp.ones(8))
+            spmv = make_ell_spmv(128, 3, tile=128)
+            out = spmv(jnp.zeros(128), jnp.ones((128, 3)),
+                       jnp.zeros((128, 3), jnp.int32), jnp.ones(128))
             jax.block_until_ready(out)
             _PALLAS_OK = True
         except Exception:
