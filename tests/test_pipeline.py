@@ -59,3 +59,20 @@ def test_adapt_to_system_size_tiers():
     cfg2.adapt_to_system_size(14400)
     assert cfg2.residual_iterations == 15
     assert cfg2.samples_per_batch == 4000
+
+
+def test_open_shell_radical_pipeline():
+    """OH radical (doublet, n_alpha != n_beta) through all four stages."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals([("O", (0, 0, 0)),
+                                        ("H", (0, 0, 0.97))], spin=1)
+    h = MolecularHamiltonian(ints)
+    assert h.n_alpha == 5 and h.n_beta == 4
+    cfg = PipelineConfig(max_epochs=80, min_epochs=30, samples_per_batch=256,
+                         nqs_hidden_dims=[64, 64], nf_hidden_dims=[64, 64],
+                         max_krylov_dim=3, shots_per_krylov=5000,
+                         verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=h.fci_energy())
+    out = pipe.run()
+    assert out["chemical_accuracy"], out["error_mha"]
