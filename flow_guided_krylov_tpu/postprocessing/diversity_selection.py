@@ -115,16 +115,27 @@ class DiversitySelector:
             w = w / (e - e.min() + 1.0)
         return w
 
-    def _dpp_select(self, dist: np.ndarray, weights: np.ndarray,
+    def _dpp_select(self, configs: np.ndarray, weights: np.ndarray,
                     n_select: int) -> np.ndarray:
-        """Vectorized greedy DPP: maximize weight * min_dist^scale."""
+        """Vectorized greedy DPP: maximize weight * min_dist^scale.
+
+        Distances are computed lazily — one Hamming row per pick — so
+        selection is O(n_select * n) time and O(n) memory instead of
+        materializing the O(n^2) distance matrix (which spikes to GBs for
+        the reference's 8k+ buckets)."""
         c = self.config
         n = len(weights)
         if n <= n_select:
             return np.arange(n)
+        a = configs[:, 0].astype(np.uint64)
+        b = configs[:, 1].astype(np.uint64)
+
+        def dist_row(i: int) -> np.ndarray:
+            return (_popcount(a ^ a[i]) + _popcount(b ^ b[i])).astype(float)
+
         chosen = np.empty(n_select, dtype=np.int64)
         chosen[0] = int(np.argmax(weights))
-        min_dist = dist[chosen[0]].astype(float)
+        min_dist = dist_row(chosen[0])
         alive = np.ones(n, bool)
         alive[chosen[0]] = False
         for i in range(1, n_select):
@@ -139,7 +150,7 @@ class DiversitySelector:
             pick = int(np.argmax(score))
             chosen[i] = pick
             alive[pick] = False
-            min_dist = np.minimum(min_dist, dist[pick])
+            min_dist = np.minimum(min_dist, dist_row(pick))
         return chosen
 
     def select(self, packed: np.ndarray,
@@ -169,8 +180,7 @@ class DiversitySelector:
             if n_select <= 0 or len(idx) == 0:
                 continue
             if self.config.use_dpp_selection and len(idx) > n_select:
-                dist = compute_hamming_distance_matrix(uniq[idx])
-                local = self._dpp_select(dist, weights[idx], n_select)
+                local = self._dpp_select(uniq[idx], weights[idx], n_select)
                 picked = idx[local]
             else:
                 order = np.argsort(-weights[idx])[:n_select]
