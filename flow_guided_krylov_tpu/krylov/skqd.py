@@ -291,13 +291,21 @@ class SampleBasedKrylovDiagonalization:
         if not self.config.use_device_evolution or self.dim <= 1:
             mode = "scipy"
         if mode == "auto":
-            # dense rides the MXU comfortably to ~20k; beyond, prefer ELL
-            mode = "dense" if self.dim <= 20_000 else "ell"
-        if mode == "scipy":
-            return self._evolve_scipy(psi)
-        if mode == "ell":
-            return self._evolve_device_ell(psi)
-        return self._evolve_device(psi)
+            # dense rides the MXU comfortably to ~20k rows; beyond that the
+            # f64 host propagator is the robust default (arbitrary-index
+            # SpMV gathers are a poor fit for the VPU — see
+            # ops/pallas_spmv.py)
+            mode = "dense" if self.dim <= 20_000 else "scipy"
+        try:
+            if mode == "ell":
+                return self._evolve_device_ell(psi)
+            if mode == "dense":
+                return self._evolve_device(psi)
+        except Exception as exc:  # compile/lowering failure -> host path
+            import warnings
+            warnings.warn(f"device evolution ({mode}) failed ({exc!r}); "
+                          f"falling back to scipy expm_multiply")
+        return self._evolve_scipy(psi)
 
     # ------------------------------------------------------------------
     # Sampling

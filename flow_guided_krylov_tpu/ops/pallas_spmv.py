@@ -1,20 +1,18 @@
-"""Pallas ELL sparse matvec for subspace Hamiltonians.
+"""Pallas/XLA ELL sparse matvec for subspace Hamiltonians.
 
 The particle-conserving subspace Hamiltonian has FIXED row degree: every
-determinant couples to exactly C others (plus the diagonal).  That makes
-ELL format exact (no padding waste) and the matvec
+determinant couples to exactly C others (plus the diagonal), so ELL format
+is exact (no padding waste):
 
     out[i] = diag[i] * psi[i] + sum_c elems[i, c] * psi[tgt[i, c]]
 
-a good Pallas target: ``psi`` fits in VMEM for any enumerable subspace
-(N <= ~1M f32), so the random gather runs at VMEM speed while ``elems`` /
-``tgt`` tiles stream from HBM — 24x less HBM traffic than the dense
-matvec for N2 (609 nonzeros vs 14,400 columns per row).
-
-Mosaic only lowers 2D gathers, so ``psi`` is carried as an
-(n_pad/128, 128) tile and indexed as ``psi2d[idx // 128, idx % 128]``.
-A one-time capability probe falls back to the XLA-gather formulation when
-the kernel cannot compile on the current backend.
+Hardware reality (measured on v5e): arbitrary-index gathers are the VPU's
+weak spot — Mosaic lowers only restricted gather forms, and reformulating
+via 128-wide row gathers inflates VMEM 128x.  The production routing is
+therefore: dense MXU matvec for subspaces that fit HBM (<= ~20k), scipy
+f64 for larger, with the ELL paths (XLA gather + experimental Pallas
+kernel) available where they compile — a documented speed-of-light
+trade-off, not a missing feature (see docs/KERNELS.md).
 """
 
 from __future__ import annotations
@@ -44,14 +42,13 @@ def make_ell_spmv(n: int, c: int, tile: int = 512):
 
     def kernel(psi2d_ref, diag_ref, psi_tile_ref, elems_ref, tgt_ref,
                out_ref):
-        # Mosaic supports only 2D gathers: psi lives as (n_pad/128, 128)
-        # in VMEM and is indexed as psi2d[idx // 128, idx % 128].
-        psi2d = psi2d_ref[:]
+        # NOTE: arbitrary-index gathers are the weak spot of the VPU; this
+        # kernel exists for backends/Mosaic versions where the 1D gather
+        # lowers.  The capability probe + host-level fallback below route
+        # around it otherwise (see ell_spmv / SKQD evolve auto-routing).
+        psi = psi2d_ref[:].reshape(-1)
         idx = tgt_ref[:]
-        flat = idx.reshape(-1)
-        rows = jnp.take(psi2d, flat // 128, axis=0)
-        vals = jnp.take_along_axis(rows, (flat % 128)[:, None], axis=1)
-        vals = vals[:, 0].reshape(idx.shape)
+        vals = jnp.take(psi, idx.reshape(-1), axis=0).reshape(idx.shape)
         out_ref[:] = (diag_ref[:] * psi_tile_ref[:]
                       + jnp.sum(elems_ref[:] * vals, axis=1))
 
