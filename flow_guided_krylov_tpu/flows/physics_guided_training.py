@@ -66,6 +66,10 @@ class PhysicsGuidedConfig:
     nqs_chunk_size: int = 16384
     use_connection_table: bool = True   # precompute all connections on device
     connection_table_max_entries: int = 50_000_000
+    # for enumerable spaces <= this many rows, keep the dense subspace H on
+    # device and compute ALL local energies as one MXU matvec per step
+    # (e_loc = (H psi)[i] / psi[i]) instead of per-connection gathers
+    dense_local_energy_max_dim: int = 20_000
     seed: int = 0
     verbose: bool = True
 
@@ -103,10 +107,19 @@ class PhysicsGuidedFlowTrainer:
         self.nqs_opt_state = self.nqs_opt.init(self.nqs_params)
 
         self.connection_table = None
+        self._h_dense_dev = None
         if c.use_connection_table and self.mesh is None:
             from ..utils.connection_table import build_connection_table
             self.connection_table = build_connection_table(
                 hamiltonian, max_entries=c.connection_table_max_entries)
+            if (self.connection_table is not None
+                    and self.connection_table.n_configs
+                    <= c.dense_local_energy_max_dim):
+                # dense subspace H (f32, device): one MXU matvec per step
+                self._h_dense_dev = jnp.asarray(
+                    hamiltonian.to_sparse(
+                        self.connection_table.basis_packed).toarray(),
+                    jnp.float32)
 
         self.accumulated_basis: Optional[np.ndarray] = None  # (M, 2) uint32
         self._acc_keys: Optional[np.ndarray] = None
@@ -168,7 +181,24 @@ class PhysicsGuidedFlowTrainer:
 
         table = self.connection_table
 
+        dense_h = self._h_dense_dev is not None
+
         def local_energies(nqs_params, packed_u, la_x, table_arrays):
+            if dense_h:
+                # dense-matvec path: evaluate the NQS over the WHOLE
+                # enumerated space, do one MXU matvec, gather sampled rows
+                keys_sorted, order, h_dense, t_occ = table_arrays
+                k = ((packed_u[:, 0] << jnp.uint32(table.n_orb))
+                     | packed_u[:, 1])
+                pos = jnp.clip(jnp.searchsorted(keys_sorted, k), 0,
+                               keys_sorted.shape[0] - 1)
+                idx = order[pos]
+                la_all = nqs_logamp_chunked(nqs_params, t_occ)
+                shift = jnp.max(la_all)
+                psi = jnp.exp(la_all - shift)
+                hpsi = jnp.dot(h_dense, psi,
+                               precision=jax.lax.Precision.HIGHEST)
+                return hpsi[idx] / jnp.maximum(psi[idx], 1e-30)
             if table is not None:
                 # precomputed-table path: pure gathers (HBM bandwidth).
                 # Table tensors arrive as ARGUMENTS, not closure constants —
@@ -287,6 +317,8 @@ class PhysicsGuidedFlowTrainer:
         t = self.connection_table
         if t is None:
             return None
+        if self._h_dense_dev is not None:
+            return (t._keys_sorted, t._order, self._h_dense_dev, t.occ)
         return (t._keys_sorted, t._order, t.target_idx, t.elems, t.diag,
                 t.occ)
 

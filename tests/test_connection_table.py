@@ -34,3 +34,34 @@ def test_table_matches_kernel():
 def test_table_caps():
     h = create_lih_hamiltonian()
     assert build_connection_table(h, max_entries=10) is None
+
+
+def test_dense_matvec_local_energy_matches_gather():
+    """The dense-H MXU local-energy path == per-connection gather path."""
+    import jax
+    from flow_guided_krylov_tpu.flows import (ParticleConservingFlow,
+                                              PhysicsGuidedConfig,
+                                              PhysicsGuidedFlowTrainer)
+    from flow_guided_krylov_tpu.models import DenseNQS
+
+    h = create_lih_hamiltonian()
+
+    def make(dense_cap):
+        flow = ParticleConservingFlow(n_orbitals=6, n_alpha=2, n_beta=2,
+                                      hidden_dims=(32, 32))
+        nqs = DenseNQS(num_sites=12, hidden_dims=(32, 32))
+        cfg = PhysicsGuidedConfig(samples_per_batch=128, verbose=False,
+                                  seed=7, dense_local_energy_max_dim=dense_cap)
+        return PhysicsGuidedFlowTrainer(h, flow, nqs, cfg)
+
+    t_dense, t_gather = make(20000), make(0)
+    assert t_dense._h_dense_dev is not None
+    assert t_gather._h_dense_dev is None
+
+    def run(tr):
+        out = tr._step(tr.flow_params, tr.nqs_params, tr.flow_opt_state,
+                       tr.nqs_opt_state, jax.random.PRNGKey(3),
+                       jnp.asarray(1.0, jnp.float32), tr._table_arrays())
+        return float(out[-1]["energy"])
+
+    assert abs(run(t_dense) - run(t_gather)) < 1e-4
