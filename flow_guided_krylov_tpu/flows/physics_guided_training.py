@@ -115,14 +115,28 @@ class PhysicsGuidedFlowTrainer:
             if (self.connection_table is not None
                     and self.connection_table.n_configs
                     <= c.dense_local_energy_max_dim):
-                # dense subspace H (f32, device): one MXU matvec per step
-                self._h_dense_dev = jnp.asarray(
-                    hamiltonian.to_sparse(
-                        self.connection_table.basis_packed).toarray(),
-                    jnp.float32)
+                # dense subspace H (f32): densify ON DEVICE from the
+                # already-resident table — shipping an 800 MB matrix through
+                # the host tunnel costs minutes, the scatter costs ms
+                t = self.connection_table
+                n_cfg = t.n_configs
 
-        self.accumulated_basis: Optional[np.ndarray] = None  # (M, 2) uint32
-        self._acc_keys: Optional[np.ndarray] = None
+                @jax.jit
+                def densify(target_idx, elems, diag):
+                    rows = jnp.broadcast_to(
+                        jnp.arange(n_cfg)[:, None], target_idx.shape)
+                    H = jnp.zeros((n_cfg, n_cfg), jnp.float32)
+                    H = H.at[rows, target_idx].add(elems)
+                    return H.at[jnp.arange(n_cfg),
+                                jnp.arange(n_cfg)].add(diag)
+
+                self._h_dense_dev = densify(t.target_idx, t.elems, t.diag)
+
+        # device-resident accumulated basis: sorted (a,b) buffer padded
+        # with 0xFFFFFFFF sentinels (host fetches only at stage boundaries)
+        M = c.max_accumulated_basis
+        self._acc_buf = jnp.full((M, 2), 0xFFFFFFFF, dtype=jnp.uint32)
+        self._acc_count = 0
         self.energy_ema: Optional[float] = None
         self.history: Dict[str, list] = {
             "energies": [], "accumulated_energies": [], "teacher_losses": [],
@@ -238,9 +252,43 @@ class PhysicsGuidedFlowTrainer:
             ratios = jnp.exp(la_y - la_x[:, None])
             return diag + jnp.sum(elems * ratios, axis=-1)
 
+        M = c.max_accumulated_basis
+        SENT = jnp.uint32(0xFFFFFFFF)
+
+        def merge_accumulate(acc_buf, packed_u, n_unique, key):
+            """Device-resident accumulated basis: sorted (a,b) buffer of
+            capacity M padded with sentinels; union new uniques, prune a
+            random subset at the cap (reference semantics,
+            ``physics_guided_training.py:549-606``) — all in-graph, so the
+            host never transfers the basis during training."""
+            new = jnp.where((jnp.arange(B) < n_unique)[:, None], packed_u,
+                            jnp.stack([jnp.broadcast_to(SENT, (B,)),
+                                       jnp.broadcast_to(SENT, (B,))], -1))
+            cat_a = jnp.concatenate([acc_buf[:, 0], new[:, 0]])
+            cat_b = jnp.concatenate([acc_buf[:, 1], new[:, 1]])
+            a, b = jax.lax.sort((cat_a, cat_b), num_keys=2)
+            is_sent = (a == SENT) & (b == SENT)
+            first = jnp.concatenate([
+                jnp.ones((1,), bool), (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            valid = first & ~is_sent
+            count = jnp.sum(valid)
+            # random priorities: valid entries keep uniform keys, others +inf;
+            # the lowest-M priorities survive (= uniform random subset)
+            pri = jnp.where(valid,
+                            jax.random.uniform(key, a.shape), jnp.inf)
+            order = jnp.argsort(pri)
+            keep_a = a[order][:M]
+            keep_b = b[order][:M]
+            keep_valid = valid[order][:M]
+            keep_a = jnp.where(keep_valid, keep_a, SENT)
+            keep_b = jnp.where(keep_valid, keep_b, SENT)
+            ka, kb = jax.lax.sort((keep_a, keep_b), num_keys=2)
+            return jnp.stack([ka, kb], -1), jnp.minimum(count, M)
+
         @jax.jit
         def step(flow_params, nqs_params, flow_opt_state, nqs_opt_state,
-                 key, temperature, table_arrays=None):
+                 acc_buf, key, temperature, table_arrays=None):
+            key, k_prune = jax.random.split(key)
             k_samp, = jax.random.split(key, 1)
             configs, _ = flow.apply(flow_params, k_samp, B, temperature,
                                     method=flow.sample)
@@ -301,17 +349,58 @@ class PhysicsGuidedFlowTrainer:
                 n_grads, nqs_opt_state, nqs_params)
             nqs_params = optax.apply_updates(nqs_params, n_updates)
 
-            metrics = {
-                "energy": energy,
-                "teacher_loss": teacher,
-                "physics_loss": physics,
-                "entropy": entropy,
-                "unique_ratio": n_unique / B,
-            }
+            acc_buf, acc_count = merge_accumulate(acc_buf, packed_u,
+                                                  n_unique, k_prune)
+            # single packed metrics vector -> ONE host transfer per epoch
+            metrics_vec = jnp.stack([
+                energy, teacher, physics, entropy,
+                n_unique / B, acc_count.astype(jnp.float32)])
             return (flow_params, nqs_params, flow_opt_state, nqs_opt_state,
-                    packed_u, n_unique, metrics)
+                    acc_buf, metrics_vec)
 
         return step
+
+    @property
+    def accumulated_basis(self) -> Optional[np.ndarray]:
+        """Host view of the device-resident accumulated basis."""
+        if self._acc_count == 0:
+            return None
+        buf = np.asarray(self._acc_buf)
+        valid = ~((buf[:, 0] == 0xFFFFFFFF) & (buf[:, 1] == 0xFFFFFFFF))
+        return buf[valid]
+
+    @accumulated_basis.setter
+    def accumulated_basis(self, basis):
+        M = self.config.max_accumulated_basis
+        buf = np.full((M, 2), 0xFFFFFFFF, np.uint32)
+        if basis is not None and len(basis):
+            basis = np.asarray(basis, np.uint32)[:M]
+            keys = self.h.keys(basis)
+            order = np.argsort(keys)
+            buf[:len(basis)] = basis[order]
+            self._acc_count = len(basis)
+        else:
+            self._acc_count = 0
+        # keep sentinel rows sorted after real rows (sorted merge invariant)
+        a, b = buf[:, 0], buf[:, 1]
+        order = np.lexsort((b, a))
+        self._acc_buf = jnp.asarray(buf[order])
+
+    @property
+    def _acc_keys(self) -> Optional[np.ndarray]:
+        basis = self.accumulated_basis
+        return None if basis is None else np.sort(self.h.keys(basis))
+
+    def _update_accumulated_basis(self, packed: np.ndarray, n: int):
+        """Host-side seeding/merge into the device buffer (used by CI
+        seeding and checkpoint restore)."""
+        extra = np.asarray(packed[:n], np.uint32)
+        current = self.accumulated_basis
+        merged = (extra if current is None
+                  else np.concatenate([current, extra]))
+        keys = self.h.keys(merged)
+        _, idx = np.unique(keys, return_index=True)
+        self.accumulated_basis = merged[np.sort(idx)]
 
     def _table_arrays(self):
         t = self.connection_table
@@ -326,34 +415,8 @@ class PhysicsGuidedFlowTrainer:
     # Host-side accumulation
     # ------------------------------------------------------------------
 
-    def _update_accumulated_basis(self, packed_u: np.ndarray, n_unique: int):
-        """Union-dedup new configs; random prune at cap
-        (reference ``physics_guided_training.py:549-606``)."""
-        new = packed_u[:n_unique]
-        new_keys = self.h.keys(new)
-        if self._acc_keys is None:
-            uk, idx = np.unique(new_keys, return_index=True)
-            self._acc_keys = uk
-            self.accumulated_basis = new[idx]
-        else:
-            mask = ~np.isin(new_keys, self._acc_keys)
-            if mask.any():
-                add = new[mask]
-                add_keys = new_keys[mask]
-                add_keys, idx = np.unique(add_keys, return_index=True)
-                self.accumulated_basis = np.concatenate(
-                    [self.accumulated_basis, add[idx]])
-                self._acc_keys = np.concatenate([self._acc_keys, add_keys])
-                order = np.argsort(self._acc_keys)
-                self._acc_keys = self._acc_keys[order]
-                self.accumulated_basis = self.accumulated_basis[order]
-        cap = self.config.max_accumulated_basis
-        if len(self.accumulated_basis) > cap:
-            rng = np.random.default_rng(len(self.accumulated_basis))
-            keep = rng.permutation(len(self.accumulated_basis))[:cap]
-            keep.sort()
-            self.accumulated_basis = self.accumulated_basis[keep]
-            self._acc_keys = self._acc_keys[keep]
+    # (accumulation happens on device inside the jitted step; see
+    # merge_accumulate in _build_step and the host helpers above)
 
     def _accumulated_energy(self) -> float:
         """Ground-state energy in the accumulated basis
@@ -382,15 +445,18 @@ class PhysicsGuidedFlowTrainer:
             for _ in range(max(1, c.num_batches)):
                 self.key, k = jax.random.split(self.key)
                 (self.flow_params, self.nqs_params, self.flow_opt_state,
-                 self.nqs_opt_state, packed_u, n_unique, metrics) = \
+                 self.nqs_opt_state, self._acc_buf, metrics_vec) = \
                     self._step(self.flow_params, self.nqs_params,
                                self.flow_opt_state, self.nqs_opt_state,
-                               k, temp, self._table_arrays())
-                n_unique = int(n_unique)
-                packed_u = np.asarray(packed_u)
-                self._update_accumulated_basis(packed_u, n_unique)
-                batch_metrics.append(
-                    {k_: float(v) for k_, v in metrics.items()})
+                               self._acc_buf, k, temp, self._table_arrays())
+                # ONE device->host transfer per step (axon RPC latency makes
+                # every fetch ~50 ms; the basis stays on device)
+                vec = np.asarray(metrics_vec)
+                batch_metrics.append({
+                    "energy": float(vec[0]), "teacher_loss": float(vec[1]),
+                    "physics_loss": float(vec[2]), "entropy": float(vec[3]),
+                    "unique_ratio": float(vec[4])})
+                self._acc_count = int(vec[5])
 
             m = {k_: sum(bm[k_] for bm in batch_metrics)
                  / len(batch_metrics) for k_ in batch_metrics[0]}
@@ -404,9 +470,7 @@ class PhysicsGuidedFlowTrainer:
             self.history["physics_losses"].append(m["physics_loss"])
             self.history["entropy_values"].append(m["entropy"])
             self.history["unique_ratios"].append(m["unique_ratio"])
-            self.history["basis_sizes"].append(
-                len(self.accumulated_basis)
-                if self.accumulated_basis is not None else 0)
+            self.history["basis_sizes"].append(self._acc_count)
             self.history["epoch_times"].append(time.perf_counter() - t0)
 
             if (c.use_accumulated_energy

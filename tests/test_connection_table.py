@@ -60,8 +60,9 @@ def test_dense_matvec_local_energy_matches_gather():
 
     def run(tr):
         out = tr._step(tr.flow_params, tr.nqs_params, tr.flow_opt_state,
-                       tr.nqs_opt_state, jax.random.PRNGKey(3),
+                       tr.nqs_opt_state, tr._acc_buf,
+                       jax.random.PRNGKey(3),
                        jnp.asarray(1.0, jnp.float32), tr._table_arrays())
-        return float(out[-1]["energy"])
+        return float(np.asarray(out[-1])[0])
 
     assert abs(run(t_dense) - run(t_gather)) < 1e-4

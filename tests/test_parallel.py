@@ -36,9 +36,10 @@ def test_sharded_training_step_matches_single_device():
                                   use_connection_table=False, seed=11)
         tr = PhysicsGuidedFlowTrainer(h, flow, nqs, cfg, mesh=mesh)
         out = tr._step(tr.flow_params, tr.nqs_params, tr.flow_opt_state,
-                       tr.nqs_opt_state, jax.random.PRNGKey(5),
-                       jnp.float32(1.0))
-        return {k: float(v) for k, v in out[-1].items()}
+                       tr.nqs_opt_state, tr._acc_buf,
+                       jax.random.PRNGKey(5), jnp.float32(1.0))
+        vec = np.asarray(out[-1])
+        return {"energy": float(vec[0]), "unique_ratio": float(vec[4])}
 
     m_none = run_one(None)
     mesh = make_mesh(8, devices=jax.devices("cpu"))
