@@ -24,6 +24,9 @@ import numpy as np
 
 def main():
     import jax
+    from flow_guided_krylov_tpu.utils.profiling import \
+        enable_compilation_cache
+    enable_compilation_cache()
 
     from flow_guided_krylov_tpu.chem.scf import MolecularIntegrals
     from flow_guided_krylov_tpu.hamiltonians.molecular import \

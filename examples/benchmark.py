@@ -30,6 +30,11 @@ MOLECULES = {
 CHEMICAL_ACCURACY_MHA = 1.6
 
 
+def _enable_cache():
+    from flow_guided_krylov_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
+
 def quick_config(quick: bool, nf_only: bool):
     from flow_guided_krylov_tpu.pipeline import PipelineConfig
     cfg = PipelineConfig()
@@ -49,6 +54,7 @@ def quick_config(quick: bool, nf_only: bool):
 
 def benchmark_molecule(name: str, quick: bool, nf_only: bool,
                        verbose: bool = True) -> dict:
+    _enable_cache()
     from flow_guided_krylov_tpu.pipeline import run_molecular_benchmark
     cfg = quick_config(quick, nf_only)
     cfg.verbose = verbose

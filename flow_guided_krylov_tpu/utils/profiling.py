@@ -71,3 +71,14 @@ def device_memory_stats() -> Optional[Dict]:
             except Exception:
                 pass
     return out or None
+
+
+def enable_compilation_cache(path: str = "/tmp/fgk_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (first compiles on the
+    axon tunnel cost 15-60 s each; cached reruns skip them)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
