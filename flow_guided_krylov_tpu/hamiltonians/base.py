@@ -11,7 +11,7 @@ molecular alpha/beta, 1 for spin chains), and connection enumeration is
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -141,7 +141,8 @@ class Hamiltonian(ABC):
         M = sp.coo_matrix((vals, (rows, cols)), shape=(B, B)).tocsr()
         return M
 
-    def exact_ground_state(self, basis: np.ndarray, k: int = 1
+    def exact_ground_state(self, basis: np.ndarray, k: int = 1,
+                           v0: Optional[np.ndarray] = None
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Lowest-k eigenpairs of H projected onto ``basis``.
 
@@ -161,7 +162,9 @@ class Hamiltonian(ABC):
             return vals[:k], vecs[:, :k]
         M = self.to_sparse(basis)
         M = (M + M.T) * 0.5
-        vals, vecs = spla.eigsh(M, k=max(k, 2), which="SA")
+        if v0 is not None and len(v0) != B:
+            v0 = None
+        vals, vecs = spla.eigsh(M, k=max(k, 2), which="SA", v0=v0)
         idx = np.argsort(vals)
         return vals[idx][:k], vecs[:, idx][:, :k]
 

@@ -195,13 +195,14 @@ class MolecularHamiltonian(Hamiltonian):
             return None
         return vals, vecs
 
-    def exact_ground_state(self, basis: np.ndarray, k: int = 1):
+    def exact_ground_state(self, basis: np.ndarray, k: int = 1,
+                           v0: Optional[np.ndarray] = None):
         basis = np.atleast_2d(np.asarray(basis, np.uint32))
         if k == 1 and len(basis) > 2048:
             out = self._device_ground_state(basis)
             if out is not None:
                 return out
-        return super().exact_ground_state(basis, k=k)
+        return super().exact_ground_state(basis, k=k, v0=v0)
 
     # ------------------------------------------------------------------
     # FCI (exactness oracle; reference ``molecular.py:838-942``)

@@ -52,13 +52,24 @@ class SelectedCIExpander:
                  config: Optional[ResidualExpansionConfig] = None):
         self.h = hamiltonian
         self.config = config or ResidualExpansionConfig()
+        self._last_coeffs: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
 
     def _diagonalize(self, basis: np.ndarray) -> Tuple[float, np.ndarray]:
         """Ground state of H projected on basis (host f64; reference
-        ``residual_expansion.py:408-443``)."""
-        vals, vecs = self.h.exact_ground_state(basis, k=1)
+        ``residual_expansion.py:408-443``).  Warm-started with the previous
+        round's eigenvector (zero-padded for the added determinants)."""
+        v0 = None
+        prev = self._last_coeffs
+        if prev is not None and len(prev) <= len(basis):
+            v0 = np.zeros(len(basis))
+            v0[:len(prev)] = prev
+        try:
+            vals, vecs = self.h.exact_ground_state(basis, k=1, v0=v0)
+        except TypeError:
+            vals, vecs = self.h.exact_ground_state(basis, k=1)
+        self._last_coeffs = vecs[:, 0]
         return float(vals[0]), vecs[:, 0]
 
     def _pt2_candidates(self, basis: np.ndarray, coeffs: np.ndarray,
