@@ -53,15 +53,42 @@ def quick_config(quick: bool, nf_only: bool):
 
 
 def benchmark_molecule(name: str, quick: bool, nf_only: bool,
+                       pt2_only: bool = False,
                        verbose: bool = True) -> dict:
     _enable_cache()
-    from flow_guided_krylov_tpu.pipeline import run_molecular_benchmark
-    cfg = quick_config(quick, nf_only)
-    cfg.verbose = verbose
     t0 = time.perf_counter()
-    out = run_molecular_benchmark(name, cfg)
+    if pt2_only:
+        out = pt2_only_run(name)
+    else:
+        from flow_guided_krylov_tpu.pipeline import run_molecular_benchmark
+        cfg = quick_config(quick, nf_only)
+        cfg.verbose = verbose
+        out = run_molecular_benchmark(name, cfg)
     out["total_time"] = time.perf_counter() - t0
     return out
+
+
+def pt2_only_run(name: str) -> dict:
+    """HF-seeded iterative Selected-CI (no flow): composes the framework's
+    stage-3 machinery alone — the fastest route for small/medium systems."""
+    from flow_guided_krylov_tpu.hamiltonians import MOLECULE_FACTORIES
+    from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
+                                               iterative_residual_expansion)
+    h = MOLECULE_FACTORIES[name]()
+    exact = h.fci_energy()
+    cfg = ResidualExpansionConfig(max_iterations=40,
+                                  configs_per_iteration=300,
+                                  stagnation_threshold=1e-6,
+                                  stagnation_patience=3,
+                                  max_basis_size=min(h.n_valid_configs,
+                                                     30_000))
+    out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg)
+    e = out["energy"]
+    return {"molecule": name, "final_energy": float(e),
+            "exact_energy": float(exact),
+            "error_mha": 1000 * (e - exact),
+            "chemical_accuracy": abs(e - exact) < 1.6e-3,
+            "nf_basis_size": int(len(out["basis"]))}
 
 
 def main():
@@ -72,6 +99,10 @@ def main():
                    help="smaller nets / fewer epochs")
     p.add_argument("--nf-only", action="store_true",
                    help="skip residual expansion and SKQD (NF-only mode)")
+    p.add_argument("--pt2-only", action="store_true",
+                   help="HF-seeded Selected-CI only (no flow training): the "
+                        "fastest route to chemical accuracy on small/medium "
+                        "systems")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per molecule")
     p.add_argument("--quiet", action="store_true")
@@ -89,6 +120,7 @@ def main():
               f"({MOLECULES[name][0]} qubits, "
               f"{MOLECULES[name][1]:,} valid configs) ###")
         out = benchmark_molecule(name, args.quick, args.nf_only,
+                                 pt2_only=args.pt2_only,
                                  verbose=not args.quiet)
         rows.append(out)
         if args.json:
