@@ -485,6 +485,12 @@ class FlowGuidedKrylovPipeline:
             skip_reason = "config.skip_skqd"
         elif c.max_krylov_dim <= 0:
             skip_reason = "max_krylov_dim <= 0"
+        elif self.n_valid > 200_000:
+            # subspace time evolution materializes the full particle-
+            # conserving space; beyond ~200k determinants that is neither
+            # enumerable on device nor sparse-assemblable on host
+            skip_reason = (f"subspace too large for SKQD evolution "
+                           f"({self.n_valid:,} configs)")
         elif (self.exact_energy is not None and residual_energy is not None
               and residual_energy - self.exact_energy < 1.0 * MHA):
             skip_reason = "residual already < 1 mHa"
