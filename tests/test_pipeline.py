@@ -76,3 +76,22 @@ def test_open_shell_radical_pipeline():
     pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=h.fci_energy())
     out = pipe.run()
     assert out["chemical_accuracy"], out["error_mha"]
+
+
+def test_pipeline_resume(tmp_path):
+    """run(resume=True) restores stage results from checkpoints."""
+    from flow_guided_krylov_tpu.hamiltonians import create_h2_hamiltonian
+    h = create_h2_hamiltonian()
+    kw = dict(max_epochs=50, min_epochs=20, samples_per_batch=128,
+              nqs_hidden_dims=[32, 32], nf_hidden_dims=[32, 32],
+              checkpoint_dir=str(tmp_path), verbose=False,
+              max_krylov_dim=2, shots_per_krylov=2000)
+    p1 = FlowGuidedKrylovPipeline(h, PipelineConfig(**kw),
+                                  exact_energy=h.fci_energy())
+    out1 = p1.run()
+    p2 = FlowGuidedKrylovPipeline(h, PipelineConfig(**kw),
+                                  exact_energy=h.fci_energy())
+    out2 = p2.run(resume=True)
+    assert p2.results["stage1"].get("resumed") is True
+    assert out2["chemical_accuracy"]
+    assert abs(out1["final_energy"] - out2["final_energy"]) < 1e-8
