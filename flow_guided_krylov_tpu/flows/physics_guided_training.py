@@ -64,6 +64,8 @@ class PhysicsGuidedConfig:
     use_accumulated_energy: bool = True
     accumulated_energy_interval: int = 50
     nqs_chunk_size: int = 16384
+    early_exit_on_complete_basis: bool = True  # stop when the whole space
+                                               # is in the accumulated basis
     use_connection_table: bool = True   # precompute all connections on device
     connection_table_max_entries: int = 50_000_000
     # for enumerable spaces <= this many rows, keep the dense subspace H on
@@ -489,5 +491,15 @@ class PhysicsGuidedFlowTrainer:
                 if c.verbose:
                     print(f"  converged at epoch {epoch}: "
                           f"unique_ratio={m['unique_ratio']:.3f}")
+                break
+            # complete-space early exit: once every valid determinant is in
+            # the accumulated basis (and fits the cap), further epochs only
+            # polish the NQS, whose energy the pipeline does not use
+            if (c.early_exit_on_complete_basis and epoch >= c.min_epochs
+                    and hasattr(self.h, "n_valid_configs")
+                    and self._acc_count >= self.h.n_valid_configs):
+                if c.verbose:
+                    print(f"  basis complete at epoch {epoch}: "
+                          f"{self._acc_count:,} configs")
                 break
         return self.history
