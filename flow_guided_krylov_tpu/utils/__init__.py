@@ -1,6 +1,7 @@
 """Cross-cutting utilities: auto-scaling, checkpointing, profiling."""
 
 from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+from .connection_table import DeviceConnectionTable, build_connection_table
 from .profiling import StageTimer, device_memory_stats, trace
 from .system_scaler import (AdaptiveAdjuster, QualityPreset, SystemScaler,
                             SystemTier, auto_scale_pipeline,
@@ -10,5 +11,6 @@ __all__ = [
     "SystemScaler", "SystemTier", "QualityPreset", "AdaptiveAdjuster",
     "create_pipeline_config", "auto_scale_pipeline",
     "CheckpointManager", "save_checkpoint", "load_checkpoint",
+    "DeviceConnectionTable", "build_connection_table",
     "StageTimer", "trace", "device_memory_stats",
 ]
