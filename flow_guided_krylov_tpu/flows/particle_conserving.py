@@ -44,7 +44,7 @@ def gumbel_topk(key: jax.Array, logits: jnp.ndarray, k: int,
     one_hot = jnp.zeros_like(logits).at[
         jnp.arange(logits.shape[0])[:, None], idx].set(1.0)
     if not hard:
-        return jax.nn.softmax(z / temperature, axis=-1)
+        return jax.nn.softmax(z, axis=-1)  # z already carries 1/temperature
     soft = jax.nn.softmax(z, axis=-1) * one_hot
     return one_hot - jax.lax.stop_gradient(soft) + soft
 

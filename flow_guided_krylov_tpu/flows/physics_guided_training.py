@@ -110,7 +110,7 @@ class PhysicsGuidedFlowTrainer:
 
         self.connection_table = None
         self._h_dense_dev = None
-        if c.use_connection_table and self.mesh is None:
+        if c.use_connection_table:
             from ..utils.connection_table import build_connection_table
             self.connection_table = build_connection_table(
                 hamiltonian, max_entries=c.connection_table_max_entries)
@@ -133,6 +133,16 @@ class PhysicsGuidedFlowTrainer:
                                 jnp.arange(n_cfg)].add(diag)
 
                 self._h_dense_dev = densify(t.target_idx, t.elems, t.diag)
+                if self.mesh is not None and n_cfg % self.mesh.size == 0:
+                    # determinant rows sharded over ALL mesh devices so
+                    # each chip holds 1/n of the dense subspace H at rest
+                    # (non-divisible dims stay replicated at rest; the
+                    # in-graph constraint in local_energies still shards
+                    # the compute via GSPMD's uneven partitioning)
+                    from ..parallel.sharded_matvec import \
+                        shard_hamiltonian_rows
+                    self._h_dense_dev = shard_hamiltonian_rows(
+                        self.mesh, self._h_dense_dev)
 
         # device-resident accumulated basis: sorted (a,b) buffer padded
         # with 0xFFFFFFFF sentinels (host fetches only at stage boundaries)
@@ -202,14 +212,21 @@ class PhysicsGuidedFlowTrainer:
         def local_energies(nqs_params, packed_u, la_x, table_arrays):
             if dense_h:
                 # dense-matvec path: evaluate the NQS over the WHOLE
-                # enumerated space, do one MXU matvec, gather sampled rows
+                # enumerated space, do one MXU matvec, gather sampled rows.
+                # Under a mesh, H rows and the full-space NQS eval are
+                # sharded over all devices (determinant axis).
                 keys_sorted, order, h_dense, t_occ = table_arrays
                 k = ((packed_u[:, 0] << jnp.uint32(table.n_orb))
                      | packed_u[:, 1])
                 pos = jnp.clip(jnp.searchsorted(keys_sorted, k), 0,
                                keys_sorted.shape[0] - 1)
                 idx = order[pos]
-                la_all = nqs_logamp_chunked(nqs_params, t_occ)
+                if mesh is not None:
+                    t_occ = shard(t_occ, ("data", "basis"), None)
+                    la_all = nqs.apply(nqs_params, t_occ)
+                    h_dense = shard(h_dense, ("data", "basis"), None)
+                else:
+                    la_all = nqs_logamp_chunked(nqs_params, t_occ)
                 shift = jnp.max(la_all)
                 psi = jnp.exp(la_all - shift)
                 hpsi = jnp.dot(h_dense, psi,
@@ -227,12 +244,17 @@ class PhysicsGuidedFlowTrainer:
                 pos = jnp.clip(jnp.searchsorted(keys_sorted, k), 0,
                                keys_sorted.shape[0] - 1)
                 idx = order[pos]
-                tgt = target_idx[idx]
-                diag = t_diag[idx]
-                elems = t_elems[idx]
+                # gathered per-batch rows shard over 'data' like the batch
+                tgt = shard(target_idx[idx], "data", None)
+                diag = shard(t_diag[idx], "data")
+                elems = shard(t_elems[idx], "data", None)
                 occ_y = t_occ[tgt]
-                la_y = nqs_logamp_chunked(
-                    nqs_params, occ_y.reshape(-1, n_sites))
+                if mesh is not None:
+                    la_y = nqs.apply(nqs_params,
+                                     occ_y.reshape(-1, n_sites))
+                else:
+                    la_y = nqs_logamp_chunked(
+                        nqs_params, occ_y.reshape(-1, n_sites))
                 la_y = la_y.reshape(elems.shape)
                 ratios = jnp.exp(la_y - la_x[:, None])
                 return diag + jnp.sum(elems * ratios, axis=-1)

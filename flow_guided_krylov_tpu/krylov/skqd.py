@@ -176,9 +176,11 @@ class SampleBasedKrylovDiagonalization:
 
     def __init__(self, hamiltonian: Hamiltonian,
                  config: Optional[SKQDConfig] = None,
-                 initial_state: Optional[np.ndarray] = None):
+                 initial_state: Optional[np.ndarray] = None,
+                 mesh=None):
         self.h = hamiltonian
         self.config = config or SKQDConfig()
+        self.mesh = mesh  # optional ('data','basis') Mesh: H rows sharded
         self.is_molecular = hasattr(hamiltonian, "n_alpha")
 
         # subspace setup (reference ``skqd.py:135-177``)
@@ -229,9 +231,30 @@ class SampleBasedKrylovDiagonalization:
 
     def _device_hamiltonian(self):
         if self._h_dense_dev is None:
-            self._h_dense_dev = jnp.asarray(
-                self.subspace_hamiltonian.toarray(), jnp.float32)
+            h_np = self.subspace_hamiltonian.toarray().astype(np.float32)
+            if self.mesh is not None:
+                # zero-pad rows/cols to a device-count multiple, then shard
+                # rows over all mesh devices; the jitted Lanczos propagator
+                # inherits the sharding from its committed input.  The
+                # zero pad block is inert under the matvec (pad entries of
+                # psi start at 0 and stay 0).
+                nd = self.mesh.size
+                pad = (-h_np.shape[0]) % nd
+                if pad:
+                    h_np = np.pad(h_np, ((0, pad), (0, pad)))
+                from ..parallel.sharded_matvec import shard_hamiltonian_rows
+                self._h_dense_dev = shard_hamiltonian_rows(
+                    self.mesh, jnp.asarray(h_np))
+            else:
+                self._h_dense_dev = jnp.asarray(h_np)
         return self._h_dense_dev
+
+    def _dense_evolution_cap(self) -> int:
+        """Max subspace dim for the dense device propagator: each chip
+        holds rows_per_chip * dim f32; scale the single-chip 20k cap by
+        sqrt(n_devices) so per-chip HBM stays constant."""
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        return int(20_000 * np.sqrt(n_dev))
 
     # ------------------------------------------------------------------
     # Time evolution
@@ -246,12 +269,19 @@ class SampleBasedKrylovDiagonalization:
 
     def _evolve_device(self, psi: np.ndarray) -> np.ndarray:
         H = self._device_hamiltonian()
-        re = jnp.asarray(np.real(psi), jnp.float32)
-        im = jnp.asarray(np.imag(psi), jnp.float32)
+        pad = H.shape[0] - self.dim          # mesh padding (see above)
+        re_np = np.real(psi).astype(np.float32)
+        im_np = np.imag(psi).astype(np.float32)
+        if pad:
+            re_np = np.pad(re_np, (0, pad))
+            im_np = np.pad(im_np, (0, pad))
+        re = jnp.asarray(re_np)
+        im = jnp.asarray(im_np)
         m = min(self.config.lanczos_dim, self.dim)
         out_r, out_i = lanczos_expm(H, re, im,
                                     jnp.float32(self.config.time_step), m)
-        return np.asarray(out_r) + 1j * np.asarray(out_i)
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        return out[:self.dim] if pad else out
 
     def _ell_structure(self):
         """ELL (diag, elems, target_idx) for the fixed-degree subspace matvec."""
@@ -291,11 +321,13 @@ class SampleBasedKrylovDiagonalization:
         if not self.config.use_device_evolution or self.dim <= 1:
             mode = "scipy"
         if mode == "auto":
-            # dense rides the MXU comfortably to ~20k rows; beyond that the
-            # f64 host propagator is the robust default (arbitrary-index
-            # SpMV gathers are a poor fit for the VPU — see
-            # ops/pallas_spmv.py)
-            mode = "dense" if self.dim <= 20_000 else "scipy"
+            # dense rides the MXU comfortably to ~20k rows per chip; a mesh
+            # shards rows across chips, raising the cap by sqrt(n_devices).
+            # Beyond that the f64 host propagator is the robust default
+            # (arbitrary-index SpMV gathers are a poor fit for the VPU —
+            # see ops/pallas_spmv.py)
+            mode = "dense" if self.dim <= self._dense_evolution_cap() \
+                else "scipy"
         try:
             if mode == "ell":
                 return self._evolve_device_ell(psi)
@@ -414,8 +446,9 @@ class FlowGuidedSKQD(SampleBasedKrylovDiagonalization):
 
     def __init__(self, hamiltonian: Hamiltonian, nf_basis: np.ndarray,
                  config: Optional[SKQDConfig] = None,
-                 initial_state: Optional[np.ndarray] = None):
-        super().__init__(hamiltonian, config, initial_state)
+                 initial_state: Optional[np.ndarray] = None,
+                 mesh=None):
+        super().__init__(hamiltonian, config, initial_state, mesh=mesh)
         self.nf_basis = np.atleast_2d(np.asarray(nf_basis, np.uint32))
 
     def get_combined_basis(self, krylov_basis: np.ndarray) -> np.ndarray:

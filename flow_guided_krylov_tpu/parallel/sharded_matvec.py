@@ -1,10 +1,12 @@
 """Basis-sharded Hamiltonian matvec + Lanczos over a device mesh.
 
 The multi-chip scaling path for SKQD/eigensolves (SURVEY.md §5, the
-BASELINE stretch goal): the subspace Hamiltonian's rows are sharded along
-the mesh's 'data' axis (each chip owns a determinant block), state vectors
-are replicated, and the matvec's partial results land sharded — XLA
-inserts the all-gathers from the sharding annotations, riding ICI.
+BASELINE stretch goal): the subspace Hamiltonian's rows — the determinant
+('basis') dimension — are sharded over ALL mesh devices (both the 'data'
+and 'basis' axes combined, so every chip owns a determinant block no
+matter how the mesh is factored), state vectors are replicated, and the
+matvec's partial results land sharded — XLA inserts the all-gathers from
+the sharding annotations, riding ICI.
 
 Works for dense row blocks (small subspaces) and ELL row blocks (fixed
 row degree); one chip is the 1x1 mesh, same code path.
@@ -21,10 +23,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["shard_hamiltonian_rows", "sharded_matvec_fn",
            "sharded_lanczos_expm", "sharded_lanczos_ground_state"]
 
+# determinant-axis sharding: rows spread over every device in the mesh
+ROWS = P(("data", "basis"), None)
+
 
 def shard_hamiltonian_rows(mesh: Mesh, h_dense: jnp.ndarray) -> jnp.ndarray:
-    """Place H with rows sharded over the mesh's 'data' axis."""
-    return jax.device_put(h_dense, NamedSharding(mesh, P("data", None)))
+    """Place H with its rows (determinant axis) sharded over ALL devices."""
+    return jax.device_put(h_dense, NamedSharding(mesh, ROWS))
 
 
 def sharded_matvec_fn(mesh: Mesh):
@@ -35,7 +40,7 @@ def sharded_matvec_fn(mesh: Mesh):
         x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
         y = jnp.dot(h_sharded, x, precision=jax.lax.Precision.HIGHEST)
         return jax.lax.with_sharding_constraint(
-            y, NamedSharding(mesh, P("data")))
+            y, NamedSharding(mesh, P(("data", "basis"))))
 
     return mv
 

@@ -107,6 +107,11 @@ class PipelineConfig:
     # has an unused save_interval only, SURVEY.md §5)
     checkpoint_dir: Optional[str] = None
 
+    # Multi-chip: build a ('data','basis') mesh over this many devices and
+    # run stage 1 + stage 4 SPMD-sharded over it (new TPU capability; the
+    # reference is single-GPU). None/1 = single device, same code path.
+    n_devices: Optional[int] = None
+
     # Misc
     seed: int = 0
     verbose: bool = True
@@ -179,6 +184,11 @@ class FlowGuidedKrylovPipeline:
         self.config.adapt_to_system_size(self.n_valid)
 
         c = self.config
+        self.mesh = None
+        if c.n_devices is not None and c.n_devices > 1:
+            from .parallel import make_mesh
+            self.mesh = make_mesh(c.n_devices)
+
         if self.is_molecular and c.use_particle_conserving_flow:
             self.flow = ParticleConservingFlow(
                 n_orbitals=hamiltonian.n_orbitals,
@@ -239,7 +249,7 @@ class FlowGuidedKrylovPipeline:
                 50 if c.max_accumulated_basis <= 4096 else 200),
             seed=c.seed, verbose=c.verbose)
         self.trainer = PhysicsGuidedFlowTrainer(self.h, self.flow, self.nqs,
-                                                tcfg)
+                                                tcfg, mesh=self.mesh)
         if c.use_ci_seeding:
             seed_basis = self._ci_seed_basis()
             self.trainer._update_accumulated_basis(seed_basis,
@@ -485,10 +495,12 @@ class FlowGuidedKrylovPipeline:
             skip_reason = "config.skip_skqd"
         elif c.max_krylov_dim <= 0:
             skip_reason = "max_krylov_dim <= 0"
-        elif self.n_valid > 200_000:
+        elif self.n_valid > 200_000 * (self.mesh.size
+                                       if self.mesh is not None else 1):
             # subspace time evolution materializes the full particle-
-            # conserving space; beyond ~200k determinants that is neither
-            # enumerable on device nor sparse-assemblable on host
+            # conserving space; beyond ~200k determinants per device that
+            # is neither enumerable on device nor sparse-assemblable on
+            # host (a mesh shards the state/propagator, raising the cap)
             skip_reason = (f"subspace too large for SKQD evolution "
                            f"({self.n_valid:,} configs)")
         elif (self.exact_energy is not None and residual_energy is not None
@@ -498,12 +510,19 @@ class FlowGuidedKrylovPipeline:
               and len(residual_basis) < 300
               and residual_energy - self.exact_energy < 2.0 * MHA):
             skip_reason = "small basis already < 2 mHa"
+        elif self.exact_energy is None and len(residual_basis) < 300:
+            # no exact reference: a <300-config basis is diagonalized
+            # directly, SKQD adds nothing (reference pipeline.py:666-675)
+            skip_reason = "small basis, no exact reference"
 
         if skip_reason is not None:
             e = (residual_energy if residual_energy is not None else
                  float(self.h.exact_ground_state(self.nf_basis, k=1)[0][0]))
+            # the results-key compat contract always carries skqd_energy
+            # (reference pipeline.py:689-693 sets it to the fallback)
             self.results["stage4"] = {
                 "skipped": True, "reason": skip_reason,
+                "skqd_energy": float(e),
                 "final_energy": float(e),
             }
             if c.verbose:
@@ -518,7 +537,7 @@ class FlowGuidedKrylovPipeline:
                        regularization=c.skqd_regularization,
                        seed=c.seed,
                        verbose=c.verbose),
-            initial_state=self.hf_state)
+            initial_state=self.hf_state, mesh=self.mesh)
         out = skqd.run_with_nf()
 
         skqd_energy = out["best_stable_energy"]

@@ -140,6 +140,12 @@ def adaptive_eigensolver(H, k: int = 1, dense_threshold: int = 500,
         return solve_generalized_eigenvalue(H, k=k)
     if n < davidson_threshold:
         Hs = 0.5 * (H + H.T)
+        if k > 1:
+            # DavidsonSolver is single-pair; keep k>1 consistent with the
+            # dense/eigsh branches by routing to eigsh
+            vals, vecs = spla.eigsh(sp.csr_matrix(Hs), k=k, which="SA")
+            idx = np.argsort(vals)
+            return vals[idx][:k], vecs[:, idx][:, :k]
         solver = DavidsonSolver()
         vals, vecs = solver.solve(lambda v: Hs @ v, np.diag(Hs), k=k)
         return vals, vecs

@@ -103,21 +103,41 @@ class CheckpointManager:
         if state is None:
             return False
         import jax
-        trainer.flow_params = state["flow_params"]
-        trainer.nqs_params = state["nqs_params"]
-        trainer.flow_opt_state = jax.tree_util.tree_map(
-            lambda t, s: np.asarray(s).astype(np.asarray(t).dtype)
-            if hasattr(t, "dtype") else s,
-            trainer.flow_opt_state, state["flow_opt_state"])
-        trainer.nqs_opt_state = jax.tree_util.tree_map(
-            lambda t, s: np.asarray(s).astype(np.asarray(t).dtype)
-            if hasattr(t, "dtype") else s,
-            trainer.nqs_opt_state, state["nqs_opt_state"])
+
+        def restore_like(template, saved):
+            # serialization canonicalizes tuples to lists, so the saved
+            # treedef never equals the live one — flatten the saved leaves
+            # back into the template's structure instead
+            t_leaves, treedef = jax.tree_util.tree_flatten(template)
+            s_leaves = jax.tree_util.tree_leaves(saved)
+            if len(s_leaves) != len(t_leaves):
+                raise ValueError(
+                    f"checkpoint state has {len(s_leaves)} leaves, "
+                    f"trainer expects {len(t_leaves)}")
+            new = [np.asarray(s).astype(np.asarray(t).dtype)
+                   if hasattr(t, "dtype") else s
+                   for t, s in zip(t_leaves, s_leaves)]
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        trainer.flow_params = restore_like(trainer.flow_params,
+                                           state["flow_params"])
+        trainer.nqs_params = restore_like(trainer.nqs_params,
+                                          state["nqs_params"])
+        trainer.flow_opt_state = restore_like(trainer.flow_opt_state,
+                                              state["flow_opt_state"])
+        trainer.nqs_opt_state = restore_like(trainer.nqs_opt_state,
+                                             state["nqs_opt_state"])
         trainer.accumulated_basis = (
             np.asarray(state["accumulated_basis"], np.uint32)
             if state["accumulated_basis"] is not None else None)
-        trainer._acc_keys = (np.asarray(state["acc_keys"], np.uint64)
-                             if state["acc_keys"] is not None else None)
+        # _acc_keys is a derived read-only @property on
+        # PhysicsGuidedFlowTrainer (recomputed by the accumulated_basis
+        # setter above); only restore it where it is a plain attribute.
+        if not isinstance(getattr(type(trainer), "_acc_keys", None),
+                          property):
+            trainer._acc_keys = (np.asarray(state["acc_keys"], np.uint64)
+                                 if state.get("acc_keys") is not None
+                                 else None)
         trainer.key = np.asarray(state["rng_key"], dtype=np.uint32)
         if state.get("energy_ema") is not None:
             trainer.energy_ema = float(state["energy_ema"])

@@ -73,7 +73,10 @@ def device_memory_stats() -> Optional[Dict]:
     return out or None
 
 
-def enable_compilation_cache(path: str = "/tmp/fgk_jax_cache") -> None:
+_CACHE_DIR = "/tmp/fgk_jax_cache"
+
+
+def enable_compilation_cache(path: str = _CACHE_DIR) -> None:
     """Enable JAX's persistent compilation cache (first compiles on the
     axon tunnel cost 15-60 s each; cached reruns skip them)."""
     import jax
@@ -82,3 +85,24 @@ def enable_compilation_cache(path: str = "/tmp/fgk_jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def clear_compilation_cache(path: str = _CACHE_DIR) -> None:
+    """Wipe the persistent compile cache (stale AOT artifacts from a
+    libtpu/host-feature skew raise FAILED_PRECONDITION on reload)."""
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def run_with_cache_retry(fn, *args, **kwargs):
+    """Run fn; on a FAILED_PRECONDITION / compile-cache-skew error, clear
+    the persistent cache and retry once with fresh compiles."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 - intentional broad retry gate
+        msg = str(e)
+        if ("FAILED_PRECONDITION" in msg or "compilation cache" in msg
+                or "AOT" in msg):
+            clear_compilation_cache()
+            return fn(*args, **kwargs)
+        raise

@@ -70,7 +70,9 @@ def test_sharded_lanczos_matches_host():
     Hp = np.zeros((n_pad, n_pad), np.float32)
     Hp[:n, :n] = H
     Hp[n:, n:] = np.eye(n_pad - n) * 1e3   # push padding far up-spectrum
-    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=1)
+    # basis_parallel=2: rows shard over BOTH mesh axes, so the 'basis'
+    # axis is genuinely exercised by the matvec/expm below
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
     Hs = shard_hamiltonian_rows(mesh, jnp.asarray(Hp))
     e, v = sharded_lanczos_ground_state(mesh, Hs, m=80)
     exact = np.linalg.eigh(H.astype(np.float64))[0][0]
@@ -88,3 +90,119 @@ def test_sharded_lanczos_matches_host():
     ref = spla.expm_multiply(-1j * 0.1 * h.to_sparse(basis), psi0[:n].astype(complex))
     out = np.asarray(re)[:n] + 1j * np.asarray(im)[:n]
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_sharded_dense_table_step_matches_single_device():
+    """Connection-table + dense-H local energies under a mesh == unsharded
+    (the table paths must not be disabled by sharding)."""
+    from flow_guided_krylov_tpu.flows import (ParticleConservingFlow,
+                                              PhysicsGuidedConfig,
+                                              PhysicsGuidedFlowTrainer)
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.models import DenseNQS
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = create_lih_hamiltonian()
+
+    def run_one(mesh):
+        flow = ParticleConservingFlow(n_orbitals=6, n_alpha=2, n_beta=2,
+                                      hidden_dims=(32, 32))
+        nqs = DenseNQS(num_sites=12, hidden_dims=(32, 32))
+        cfg = PhysicsGuidedConfig(samples_per_batch=64, verbose=False,
+                                  seed=11)
+        tr = PhysicsGuidedFlowTrainer(h, flow, nqs, cfg, mesh=mesh)
+        assert tr.connection_table is not None
+        assert tr._h_dense_dev is not None
+        out = tr._step(tr.flow_params, tr.nqs_params, tr.flow_opt_state,
+                       tr.nqs_opt_state, tr._acc_buf,
+                       jax.random.PRNGKey(5), jnp.float32(1.0),
+                       tr._table_arrays())
+        return float(np.asarray(out[-1])[0])
+
+    e_none = run_one(None)
+    e_mesh = run_one(make_mesh(8, devices=jax.devices("cpu")))
+    assert e_mesh == pytest.approx(e_none, rel=1e-4, abs=1e-4)
+
+
+def test_skqd_sharded_evolution_matches_scipy():
+    """SKQD dense device evolution with a mesh == the f64 scipy propagator."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.krylov import (
+        SampleBasedKrylovDiagonalization, SKQDConfig)
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = create_lih_hamiltonian()
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(evolution="dense"), mesh=mesh)
+    assert skqd._dense_evolution_cap() > 20_000
+
+    psi = np.zeros(skqd.dim, np.complex128)
+    psi[skqd._index_of(h.get_hf_state())[0]] = 1.0
+    out = skqd.evolve(psi)
+    ref = skqd._evolve_scipy(psi)
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_pipeline_mesh_matches_single_device():
+    """End-to-end pipeline on the 8-device CPU mesh == single device."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.pipeline import (FlowGuidedKrylovPipeline,
+                                                 PipelineConfig)
+
+    h = create_lih_hamiltonian()
+    exact = h.fci_energy()
+
+    def run_one(n_devices):
+        cfg = PipelineConfig(max_epochs=25, min_epochs=8,
+                             samples_per_batch=128,
+                             nf_hidden_dims=[32, 32],
+                             nqs_hidden_dims=[32, 32],
+                             residual_iterations=2, max_krylov_dim=3,
+                             shots_per_krylov=2000,
+                             n_devices=n_devices, seed=4, verbose=False)
+        pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=exact)
+        return pipe.run()
+
+    out1 = run_one(None)
+    out8 = run_one(8)
+    assert out8["final_energy"] == pytest.approx(out1["final_energy"],
+                                                 abs=1e-4)
+
+
+def test_restore_trainer_roundtrip(tmp_path):
+    """save_trainer -> restore_trainer into a fresh PhysicsGuidedFlowTrainer
+    reproduces params, basis and the next training step."""
+    from flow_guided_krylov_tpu.flows import (ParticleConservingFlow,
+                                              PhysicsGuidedConfig,
+                                              PhysicsGuidedFlowTrainer)
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.models import DenseNQS
+    from flow_guided_krylov_tpu.utils.checkpoint import CheckpointManager
+
+    h = create_lih_hamiltonian()
+
+    def make(seed):
+        flow = ParticleConservingFlow(n_orbitals=6, n_alpha=2, n_beta=2,
+                                      hidden_dims=(32, 32))
+        nqs = DenseNQS(num_sites=12, hidden_dims=(32, 32))
+        cfg = PhysicsGuidedConfig(num_epochs=3, min_epochs=1,
+                                  samples_per_batch=64, verbose=False,
+                                  use_accumulated_energy=False, seed=seed)
+        return PhysicsGuidedFlowTrainer(h, flow, nqs, cfg)
+
+    src = make(seed=1)
+    src.train()
+    ck = CheckpointManager(str(tmp_path))
+    ck.save_trainer("stage1", src)
+
+    dst = make(seed=99)
+    assert ck.restore_trainer("stage1", dst)
+    np.testing.assert_array_equal(dst.accumulated_basis,
+                                  src.accumulated_basis)
+    leaves_s = jax.tree_util.tree_leaves(src.flow_params)
+    leaves_d = jax.tree_util.tree_leaves(dst.flow_params)
+    for a, b in zip(leaves_s, leaves_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert dst._acc_keys is not None
+    np.testing.assert_array_equal(dst._acc_keys, src._acc_keys)
