@@ -1,0 +1,103 @@
+"""Stage-3 Selected-CI expansion: device scoring, incremental H, caching."""
+
+import numpy as np
+import pytest
+
+from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+from flow_guided_krylov_tpu.krylov.residual_expansion import (
+    ResidualExpansionConfig, SelectedCIExpander,
+    iterative_residual_expansion)
+
+
+@pytest.fixture(scope="module")
+def lih():
+    return create_lih_hamiltonian()
+
+
+def _seed_basis(h, n=40):
+    basis = h.enumerate_basis()
+    diag = h.diagonal_np(basis)
+    return basis[np.argsort(diag)[:n]]
+
+
+def test_device_scoring_matches_host(lih):
+    """Device PT2 candidate scoring == vectorized host scoring."""
+    h = lih
+    basis = _seed_basis(h)
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    e0, coeffs = float(vals[0]), vecs[:, 0]
+
+    host = SelectedCIExpander(h, use_device_scoring=False)
+    dev = SelectedCIExpander(h, use_device_scoring=True)
+    cand_h, scores_h = host._pt2_candidates(basis, coeffs, e0)
+    cand_d, scores_d = dev._pt2_candidates(basis, coeffs, e0)
+
+    kh = h.keys(cand_h)
+    kd = h.keys(cand_d)
+    # device path returns the top-K by coupling^2; every host candidate
+    # with a non-negligible score must appear with a matching score
+    oh = np.argsort(kh)
+    od = np.argsort(kd)
+    sig_h = scores_h[oh] > 1e-10
+    m_h = dict(zip(kh[oh][sig_h].tolist(), scores_h[oh][sig_h].tolist()))
+    m_d = dict(zip(kd[od].tolist(), scores_d[od].tolist()))
+    assert set(m_h).issubset(set(m_d))
+    for k, s in m_h.items():
+        assert m_d[k] == pytest.approx(s, rel=5e-3, abs=1e-9)
+
+
+def test_incremental_projected_h_matches_full(lih):
+    """Blockwise-grown sparse H == a fresh to_sparse build."""
+    h = lih
+    full = h.enumerate_basis()
+    b1, b2, b3 = full[:120], full[:180], full[:225]
+
+    exp = SelectedCIExpander(h)
+    H1 = exp._projected_sparse(b1, h.keys(b1))
+    H2 = exp._projected_sparse(b2, h.keys(b2))   # prefix extension
+    H3 = exp._projected_sparse(b3, h.keys(b3))
+
+    for basis, H in ((b2, H2), (b3, H3)):
+        ref = h.to_sparse(basis)
+        ref = ((ref + ref.T) * 0.5).toarray()
+        np.testing.assert_allclose(H.toarray(), ref, atol=1e-12)
+
+    # restriction (variational rejection revert)
+    H1b = exp._projected_sparse(b1, h.keys(b1))
+    ref = h.to_sparse(b1)
+    np.testing.assert_allclose(H1b.toarray(),
+                               ((ref + ref.T) * 0.5).toarray(), atol=1e-12)
+
+
+def test_diagonalize_fingerprint_cache(lih):
+    h = lih
+    basis = _seed_basis(h)
+    exp = SelectedCIExpander(h)
+    e0, c0 = exp._diagonalize(basis)
+    calls = {"n": 0}
+    orig = h.exact_ground_state
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    h.exact_ground_state = counting
+    try:
+        e1, c1 = exp._diagonalize(basis)
+    finally:
+        h.exact_ground_state = orig
+    assert calls["n"] == 0
+    assert e1 == e0
+    np.testing.assert_array_equal(c0, c1)
+
+
+def test_iterative_expansion_reaches_fci(lih):
+    h = lih
+    exact = h.fci_energy()
+    out = iterative_residual_expansion(
+        h, _seed_basis(h, 20),
+        ResidualExpansionConfig(configs_per_iteration=40,
+                                max_iterations=8, max_basis_size=225),
+        use_pt2=True)
+    assert out["energy"] <= out["energies"][0] + 1e-12
+    assert out["energy"] - exact < 2e-3
