@@ -4,12 +4,14 @@
 Counterpart of ``/root/reference/examples/large_system_benchmark.py``:
 frozen-core active-space pipelines (core J/K folding implemented in
 ``chem/active_space.py``, the rebuild of
-``large_system_benchmark.py:93-167``) for N2, ozone, and butadiene-class
-systems.
+``large_system_benchmark.py:93-167``) for N2, ozone, butadiene, benzene
+(pi space, ``:253-316``), an Fe-porphyrin model (``:320-378``) and
+N2/cc-pVDZ (``:381-427``).
 
-Systems needing beyond-first-row elements (Cr2, Fe-porphyrin) or
-correlation-consistent basis sets (cc-pVDZ) are gated with explicit
-errors: the self-contained basis tables cover first-row STO-3G/6-31G.
+Cr2 stays gated: its (12e,12o) 3d-3d space needs a transition-metal
+cc-pVDZ, and no published Cr cc-pVDZ data is available in-repo (the
+self-contained tables cover H-Ar STO-3G, first-row 6-31G/6-31G*, and
+H/C/N/O/F cc-pVDZ with spherical d).
 
 Usage: python examples/large_system_benchmark.py --system n2_frozen
 """
@@ -81,17 +83,79 @@ def butadiene_pi():
     return MolecularHamiltonian(act)
 
 
+@register("benzene_pi")
+def benzene_pi():
+    """Benzene (6e, 6o) HOMO/LUMO window: C(6,3)^2 = 400 valid configs
+    (reference ``large_system_benchmark.py:253-316``)."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    cc, ch = 1.40, 1.09
+    geom = []
+    for i in range(6):
+        rad = np.radians(60.0 * i)
+        geom.append(("C", (cc * np.cos(rad), cc * np.sin(rad), 0.0)))
+    for i in range(6):
+        rad = np.radians(60.0 * i)
+        geom.append(("H", ((cc + ch) * np.cos(rad),
+                           (cc + ch) * np.sin(rad), 0.0)))
+    ints = compute_molecular_integrals(geom)
+    # 42 electrons; the (6e, 6o) window freezes the lowest 18 MOs
+    act = compute_active_space_integrals(ints, n_frozen=18, n_active=6)
+    return MolecularHamiltonian(act)
+
+
+@register("fe_porphyrin_model")
+def fe_porphyrin_model():
+    """Fe(II)N4 square-planar model, high-spin, (8e, 10o) window
+    (reference ``large_system_benchmark.py:320-378``)."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    d = 2.0
+    geom = [("Fe", (0.0, 0.0, 0.0)),
+            ("N", (d, 0.0, 0.0)), ("N", (-d, 0.0, 0.0)),
+            ("N", (0.0, d, 0.0)), ("N", (0.0, -d, 0.0))]
+    ints = compute_molecular_integrals(geom, charge=2, spin=4)
+    # 52 electrons, 4 unpaired; (8e, 10o) freezes the lowest 22 MOs
+    act = compute_active_space_integrals(ints, n_frozen=22, n_active=10)
+    return MolecularHamiltonian(act)
+
+
 @register("cr2")
 def cr2():
     raise NotImplementedError(
-        "Cr2 needs transition-metal basis data (beyond first row); gated")
+        "Cr2 needs a transition-metal cc-pVDZ (12e,12o 3d-3d space); no "
+        "published Cr cc-pVDZ data is available in-repo; gated")
 
 
 @register("n2_ccpvdz")
 def n2_ccpvdz():
-    raise NotImplementedError(
-        "cc-pVDZ needs d shells; the self-contained integral engine covers "
-        "s/p (STO-3G, 6-31G) so far; gated")
+    """N2/cc-pVDZ (10e, 14o) valence active space
+    (reference ``large_system_benchmark.py:381-427``)."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals(
+        [("N", (0, 0, 0)), ("N", (0, 0, 1.10))], basis="cc-pvdz")
+    act = compute_active_space_integrals(ints, n_frozen=2, n_active=14)
+    return MolecularHamiltonian(act)
+
+
+@register("n2_ccpvdz_10o")
+def n2_ccpvdz_10o():
+    """N2/cc-pVDZ minimal-valence (10e, 10o): 63,504 configs, FCI-checkable."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals(
+        [("N", (0, 0, 0)), ("N", (0, 0, 1.10))], basis="cc-pvdz")
+    act = compute_active_space_integrals(ints, n_frozen=2, n_active=10)
+    return MolecularHamiltonian(act)
 
 
 def run(system: str, preset_name: str = "fast") -> dict:

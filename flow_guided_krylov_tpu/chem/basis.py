@@ -25,7 +25,7 @@ ATOMIC_NUMBER: Dict[str, int] = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5,
     "C": 6, "N": 7, "O": 8, "F": 9, "Ne": 10,
     "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
-    "S": 16, "Cl": 17, "Ar": 18,
+    "S": 16, "Cl": 17, "Ar": 18, "Fe": 26,
 }
 
 # Universal STO-3G primitive fits for Slater exponent zeta = 1.
@@ -45,6 +45,23 @@ _STO3G_3SP_EXP = np.array([0.4828543, 0.1347151, 0.0527266])
 _STO3G_3S_COEF = np.array([-0.2196200, 0.2255950, 0.9003990])
 _STO3G_3P_COEF = np.array([0.0105880, 0.5951670, 0.4620010])
 
+# 3d and 4sp universal fits (zeta = 1), derived by tools/fit_sto3g.py —
+# the same overlap-maximizing procedure, validated there against the
+# published 1s/2sp fits.  Used for the transition-metal shells.
+_STO3G_3D_EXP = np.array([0.52291129, 0.16395960, 0.06386630])
+_STO3G_3D_COEF = np.array([0.16865958, 0.58479849, 0.40567798])
+_STO3G_4SP_EXP = np.array([0.24645600, 0.09095845, 0.04016816])
+_STO3G_4S_COEF = np.array([-0.30884819, 0.01961578, 1.13102933])
+_STO3G_4P_COEF = np.array([-0.12154792, 0.57152663, 0.54989234])
+
+# Fe: (zeta_1s, zeta_2sp, zeta_3sp, zeta_3d, zeta_4sp).  No published Fe
+# STO-3G table is available in-repo; the core/3d exponents are optimized
+# variationally for Fe2+ (d^6, the oxidation state of the Fe-porphyrin
+# model, tools/fit_sto3g.py procedure) and 4sp uses the Slater-rule value.
+_STO3G_ZETA_TM: Dict[str, Tuple[float, float, float, float, float]] = {
+    "Fe": (25.4984, 10.6556, 4.3201, 3.7146, 1.36),
+}
+
 # Standard molecular Slater exponents (zeta_1s, zeta_2sp) used by STO-3G.
 _STO3G_ZETA: Dict[str, Tuple[float, float]] = {
     "H": (1.24, 0.0),
@@ -59,20 +76,23 @@ _STO3G_ZETA: Dict[str, Tuple[float, float]] = {
     "Ne": (9.64, 2.88),
 }
 
-# Second row: (zeta_1s, zeta_2sp, zeta_3sp) from Slater's screening rules
-# (1s: Z-0.3; 2sp: (Z-1.7-2.45)/2; 3sp: (Z-2-6.8-0.35(v-1))/3 with v valence
-# electrons).  These are self-consistent STO-3G-quality bases; absolute
-# energies differ slightly from the Pople-optimized published tables, which
-# does not affect pipeline-vs-FCI consistency (both use the same basis).
+# Second row: published standard-molecular Slater exponents
+# (zeta_1s, zeta_2sp, zeta_3sp) of Hehre, Ditchfield, Stewart, Pople,
+# JCP 52, 2769 (1970).  Validated in-repo by reproducing the published
+# STO-3G atomic ROHF energies to ~1e-6 Ha (tests/test_chem.py):
+# Na -159.668210, Mg -197.007353, Al -238.858356, Si -285.466209,
+# P -336.868767, S -393.130217, Cl -454.542190.
 _STO3G_ZETA_ROW2: Dict[str, Tuple[float, float, float]] = {
-    "Na": (10.70, 3.425, 0.733),
-    "Mg": (11.70, 3.925, 0.950),
-    "Al": (12.70, 4.425, 1.167),
-    "Si": (13.70, 4.925, 1.383),
-    "P": (14.70, 5.425, 1.600),
-    "S": (15.70, 5.925, 1.817),
-    "Cl": (16.70, 6.425, 2.033),
-    "Ar": (17.70, 6.925, 2.250),
+    "Na": (10.61, 3.48, 1.75),
+    "Mg": (11.59, 3.90, 1.70),
+    "Al": (12.56, 4.36, 1.70),
+    "Si": (13.53, 4.83, 1.75),
+    "P": (14.50, 5.31, 1.90),
+    "S": (15.47, 5.79, 2.05),
+    "Cl": (16.43, 6.26, 2.10),
+    # Ar: zeta pattern-extrapolated (z2 += 0.48/element); no published
+    # atomic-energy cross-check was available in-repo
+    "Ar": (17.40, 6.74, 2.35),
 }
 
 # 6-31G tabulated data: element -> list of (l, exps, coefs) in a.u.
@@ -81,6 +101,30 @@ _631G: Dict[str, List[Tuple[int, Sequence[float], Sequence[float]]]] = {
         (0, [18.7311370, 2.8253937, 0.6401217],
             [0.03349460, 0.23472695, 0.81375733]),
         (0, [0.1612778], [1.0]),
+    ],
+    "Li": [
+        (0, [642.41892, 96.798515, 22.091121, 6.2010703, 1.9351177,
+             0.6367358],
+            [0.0021426, 0.0162089, 0.0773156, 0.2457860, 0.4701890,
+             0.3454708]),
+        (0, [2.3249184, 0.6324306, 0.0790534],
+            [-0.0350917, -0.1912328, 1.0839878]),
+        (1, [2.3249184, 0.6324306, 0.0790534],
+            [0.0089415, 0.1410095, 0.9453637]),
+        (0, [0.0359620], [1.0]),
+        (1, [0.0359620], [1.0]),
+    ],
+    "F": [
+        (0, [7001.7130900, 1051.3660900, 239.2856900, 67.3974453,
+             21.5199573, 7.3556160],
+            [0.0018196169, 0.0139160796, 0.0684053245, 0.2331857600,
+             0.4712674390, 0.3566185460]),
+        (0, [20.8479528, 4.8083083, 1.3440699],
+            [-0.1085069750, -0.1464516580, 1.1286885800]),
+        (1, [20.8479528, 4.8083083, 1.3440699],
+            [0.0716287243, 0.3459121030, 0.7224699570]),
+        (0, [0.3581514], [1.0]),
+        (1, [0.3581514], [1.0]),
     ],
     "C": [
         (0, [3047.5249, 457.36951, 103.94869, 29.210155, 9.2866630, 3.1639270],
@@ -115,6 +159,74 @@ _631G: Dict[str, List[Tuple[int, Sequence[float], Sequence[float]]]] = {
 }
 
 
+# cc-pVDZ (Dunning, JCP 90, 1007 (1989)): element -> (l, exps, coefs).
+# Published convention is SPHERICAL harmonics (5 d functions); the integral
+# engine builds Cartesians and scf.py projects d shells onto the real
+# solid-harmonic combinations.
+_CCPVDZ: Dict[str, List[Tuple[int, Sequence[float], Sequence[float]]]] = {
+    "H": [
+        (0, [13.0100, 1.9620, 0.4446], [0.0196850, 0.1379770, 0.4781480]),
+        (0, [0.1220], [1.0]),
+        (1, [0.7270], [1.0]),
+    ],
+    "C": [
+        (0, [6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797, 0.5215],
+            [0.0006920, 0.0053290, 0.0270770, 0.1017180, 0.2747400,
+             0.4485640, 0.2850740, 0.0152040]),
+        (0, [6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797, 0.5215],
+            [-0.0001460, -0.0011540, -0.0057250, -0.0233120, -0.0639550,
+             -0.1499810, -0.1272620, 0.5445290]),
+        (0, [0.1596], [1.0]),
+        (1, [9.439, 2.002, 0.5456], [0.0381090, 0.2094800, 0.5085570]),
+        (1, [0.1517], [1.0]),
+        (2, [0.5500], [1.0]),
+    ],
+    "N": [
+        (0, [9046.0, 1357.0, 309.3, 87.73, 28.56, 10.21, 3.838, 0.7466],
+            [0.0007000, 0.0053890, 0.0274060, 0.1032070, 0.2787230,
+             0.4485400, 0.2782380, 0.0154400]),
+        (0, [9046.0, 1357.0, 309.3, 87.73, 28.56, 10.21, 3.838, 0.7466],
+            [-0.0001530, -0.0012080, -0.0059920, -0.0245440, -0.0674590,
+             -0.1580780, -0.1218310, 0.5490030]),
+        (0, [0.2248], [1.0]),
+        (1, [13.55, 2.917, 0.7973], [0.0399190, 0.2171690, 0.5103190]),
+        (1, [0.2185], [1.0]),
+        (2, [0.8170], [1.0]),
+    ],
+    "O": [
+        (0, [11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025, 1.013],
+            [0.0007100, 0.0054700, 0.0278370, 0.1048000, 0.2830620,
+             0.4487190, 0.2709520, 0.0154580]),
+        (0, [11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025, 1.013],
+            [-0.0001600, -0.0012630, -0.0062670, -0.0257160, -0.0709240,
+             -0.1654110, -0.1169550, 0.5573680]),
+        (0, [0.3023], [1.0]),
+        (1, [17.70, 3.854, 1.046], [0.0430180, 0.2289130, 0.5087280]),
+        (1, [0.2753], [1.0]),
+        (2, [1.1850], [1.0]),
+    ],
+    "F": [
+        (0, [14710.0, 2207.0, 502.8, 142.6, 46.47, 16.70, 6.356, 1.316],
+            [0.0007210, 0.0055530, 0.0282670, 0.1064440, 0.2868140,
+             0.4486410, 0.2647610, 0.0153330]),
+        (0, [14710.0, 2207.0, 502.8, 142.6, 46.47, 16.70, 6.356, 1.316],
+            [-0.0001650, -0.0013080, -0.0064950, -0.0266910, -0.0736900,
+             -0.1707760, -0.1123270, 0.5628140]),
+        (0, [0.3897], [1.0]),
+        (1, [22.67, 4.977, 1.347], [0.0448780, 0.2357180, 0.5085210]),
+        (1, [0.3471], [1.0]),
+        (2, [1.6400], [1.0]),
+    ],
+}
+
+# basis names whose d shells use the spherical-harmonic (5d) convention
+SPHERICAL_BASES = ("cc-pvdz", "ccpvdz")
+
+
+def is_spherical_basis(basis: str) -> bool:
+    return basis.lower().replace("_", "-") in SPHERICAL_BASES
+
+
 @dataclass
 class Shell:
     """A contracted Gaussian shell on one center."""
@@ -146,9 +258,22 @@ def _sto3g_shells(element: str) -> List[Tuple[int, np.ndarray, np.ndarray]]:
             (0, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3S_COEF.copy()),
             (1, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3P_COEF.copy()),
         ]
+    if element in _STO3G_ZETA_TM:
+        z1, z2, z3, zd, z4 = _STO3G_ZETA_TM[element]
+        return [
+            (0, e1s * z1 ** 2, c1s.copy()),
+            (0, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2S_COEF.copy()),
+            (1, _STO3G_2SP_EXP * z2 ** 2, _STO3G_2P_COEF.copy()),
+            (0, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3S_COEF.copy()),
+            (1, _STO3G_3SP_EXP * z3 ** 2, _STO3G_3P_COEF.copy()),
+            (2, _STO3G_3D_EXP * zd ** 2, _STO3G_3D_COEF.copy()),
+            (0, _STO3G_4SP_EXP * z4 ** 2, _STO3G_4S_COEF.copy()),
+            (1, _STO3G_4SP_EXP * z4 ** 2, _STO3G_4P_COEF.copy()),
+        ]
     raise ValueError(
         f"STO-3G data unavailable for element {element!r} "
-        f"(supported: {sorted(_STO3G_ZETA) + sorted(_STO3G_ZETA_ROW2)})")
+        f"(supported: {sorted(_STO3G_ZETA) + sorted(_STO3G_ZETA_ROW2)
+                       + sorted(_STO3G_ZETA_TM)})")
 
 
 def build_shells(
@@ -181,6 +306,13 @@ def build_shells(
                     f"(supported: {sorted(_631G)})")
             raw = [(l, np.asarray(e, float), np.asarray(c, float))
                    for l, e, c in _631G[element]]
+        elif basis in SPHERICAL_BASES:
+            if element not in _CCPVDZ:
+                raise ValueError(
+                    f"cc-pVDZ data unavailable for element {element!r} "
+                    f"(supported: {sorted(_CCPVDZ)})")
+            raw = [(l, np.asarray(e, float), np.asarray(c, float))
+                   for l, e, c in _CCPVDZ[element]]
         else:
             raise ValueError(f"Unsupported basis {basis!r}")
         for l, exps, coefs in raw:

@@ -51,13 +51,85 @@ def test_h2_631g_rhf():
 
 
 def test_h2s_second_row_basis():
-    """Second-row STO-3G (Slater-rule refit): H2S lands within ~0.05 Ha of
-    the published-basis HF value (-394.31); exact regression pin below."""
+    """Second-row STO-3G (published standard-molecular exponents): H2S
+    reproduces the published-basis HF value -394.3116."""
     geom = [("S", (0.0, 0.0, 0.0)), ("H", (0.9617, 0.0, 0.9268)),
             ("H", (-0.9617, 0.0, 0.9268))]
     ints = compute_molecular_integrals(geom)
     assert ints.n_orbitals == 11
-    assert ints.hf_energy == pytest.approx(-394.2623270, abs=1e-5)
+    assert ints.hf_energy == pytest.approx(-394.3115537, abs=1e-5)
+
+
+def test_second_row_published_atomic_energies():
+    """The second-row STO-3G zetas reproduce published atomic ROHF/RHF
+    energies (the validation oracle for the tabulated data)."""
+    s = compute_molecular_integrals([("S", (0, 0, 0))], spin=2)
+    assert s.hf_energy == pytest.approx(-393.130217, abs=2e-5)
+    mg = compute_molecular_integrals([("Mg", (0, 0, 0))])
+    assert mg.hf_energy == pytest.approx(-197.007353, abs=2e-5)
+
+
+def test_li_f_631g():
+    """Li and F 6-31G reproduce published atomic HF energies."""
+    li = compute_molecular_integrals([("Li", (0, 0, 0))], basis="6-31g",
+                                     spin=1)
+    assert li.n_orbitals == 9
+    assert li.hf_energy == pytest.approx(-7.431235, abs=2e-5)
+    f = compute_molecular_integrals([("F", (0, 0, 0))], basis="6-31g",
+                                    spin=1)
+    assert f.hf_energy == pytest.approx(-99.360157, abs=5e-5)
+
+
+def test_lih_631g():
+    """LiH/6-31G: 11 orbitals -> the reference's 3,025-config space
+    (/root/reference/examples/skqd_validation.py:523-531)."""
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals(
+        [("Li", (0, 0, 0)), ("H", (0, 0, 1.5957))], basis="6-31g")
+    assert ints.n_orbitals == 11
+    assert ints.hf_energy == pytest.approx(-7.979277, abs=2e-5)
+    h = MolecularHamiltonian(ints)
+    assert h.n_valid_configs == 3025
+
+
+def test_ccpvdz_h_atom():
+    """H/cc-pVDZ reproduces the published HF energy -0.4992784 exactly
+    (spherical-d path: 5 functions, not 6)."""
+    ints = compute_molecular_integrals([("H", (0, 0, 0))], basis="cc-pvdz",
+                                       spin=1)
+    assert ints.n_orbitals == 5
+    assert ints.hf_energy == pytest.approx(-0.4992784, abs=1e-6)
+
+
+def test_ccpvdz_h2o_rhf():
+    """H2O/cc-pVDZ RHF matches the published value -76.02680 (24 spherical
+    orbitals: d shells project onto real solid harmonics)."""
+    geom = [("O", (0.0, 0.0, 0.1173)), ("H", (0.0, 0.7572, -0.4692)),
+            ("H", (0.0, -0.7572, -0.4692))]
+    ints = compute_molecular_integrals(geom, basis="cc-pvdz")
+    assert ints.n_orbitals == 24
+    assert ints.hf_energy == pytest.approx(-76.026772, abs=5e-5)
+
+
+def test_fe_model_complex_builds():
+    """Fe(II)N4 model: ROHF converges below -1460 Ha (level-shifted DIIS)
+    and the (8e, 10o) active FCI is variationally below ROHF."""
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    d = 2.0
+    geom = [("Fe", (0, 0, 0)), ("N", (d, 0, 0)), ("N", (-d, 0, 0)),
+            ("N", (0, d, 0)), ("N", (0, -d, 0))]
+    ints = compute_molecular_integrals(geom, charge=2, spin=4)
+    assert ints.hf_energy < -1460.0
+    act = compute_active_space_integrals(ints, n_frozen=22, n_active=10)
+    h = MolecularHamiltonian(act)
+    assert h.n_valid_configs == 9450
+    basis = h.enumerate_basis()
+    diag = h.diagonal_np(h.get_hf_state()[None, :])[0]
+    # the aufbau-determinant energy equals E_ROHF at full convergence;
+    # the level-shifted TM solve stops at ~1e-5 residual
+    assert diag == pytest.approx(ints.hf_energy, abs=1e-3)
 
 
 def test_rohf_li_atom():
