@@ -2,87 +2,327 @@
 """Lattice-model SKQD validation (TFIM / Heisenberg).
 
 Counterpart of ``/root/reference/examples/skqd_lattice_validation.py``:
-pure SKQD from |0...0> on spin chains, validated against an exact-
-diagonalization oracle built independently from Pauli words
-(``skqd_lattice_validation.py:63-103``), including the Krylov-convergence
-scan over the transverse field h.
+
+* ``tfim``        — pure SKQD from |0...0> vs NF-only vs NF+SKQD
+                    (reference ``:139-283``)
+* ``heisenberg``  — the same three modes from the Neel state
+                    (reference ``:290-420``)
+* ``convergence`` — Krylov convergence scan over the transverse field h
+                    (reference ``:425-509``); ``--scan`` is an alias
+* ``discovery``   — configuration-discovery comparison: which configs each
+                    method finds, their overlap, and the energy the
+                    Krylov-unique configs buy (reference ``:513-606``)
+* ``large``       — large-spin SKQD through the statevector-Trotter path
+                    (no 2^n subspace materialization; new TPU capability,
+                    reference Trotter path ``src/krylov/skqd.py:421-536``)
+
+Oracles: exact dense diagonalization built independently from Pauli words
+(n <= 14, reference ``:63-103``); for larger periodic nearest-neighbour
+TFIM chains the free-fermion (Jordan-Wigner) closed form; otherwise sparse
+Lanczos over the full space.
 
 Usage:
-  python examples/skqd_lattice_validation.py --model tfim --spins 10 --h 0.5
+  python examples/skqd_lattice_validation.py --system tfim --spins 10
+  python examples/skqd_lattice_validation.py --system discovery
+  python examples/skqd_lattice_validation.py --system large --spins 22
   python examples/skqd_lattice_validation.py --scan
 """
 
 import argparse
 import json
+import time
 
 import numpy as np
 
 
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+def tfim_free_fermion_energy(n: int, V: float, h: float) -> float:
+    """Exact ground energy of the periodic nearest-neighbour TFIM chain
+    H = -V sum Z_i Z_{i+1} - h sum X_i via Jordan-Wigner free fermions
+    (even-parity / antiperiodic sector, exact for the finite chain)."""
+    k = (2 * np.arange(n) + 1) * np.pi / n
+    return float(-np.sum(np.sqrt(V ** 2 + h ** 2 - 2 * V * h * np.cos(k))))
+
+
 def exact_oracle(ham) -> float:
-    """Independent dense H from Pauli words (not the kernel path)."""
-    from flow_guided_krylov_tpu.hamiltonians import extract_coeffs_and_paulis
-    from flow_guided_krylov_tpu.postprocessing import \
-        ProjectedHamiltonianBuilder
-    coeffs, words = extract_coeffs_and_paulis(ham)
-    builder = ProjectedHamiltonianBuilder.from_coeffs_and_words(coeffs, words)
-    states = np.arange(1 << ham.n_sites, dtype=np.uint64)
-    H = builder.build_dense(states)
-    return float(np.linalg.eigvalsh(H)[0])
+    """Independent exact ground energy (not the kernel path when possible):
+    dense Pauli-word build for n <= 14; free-fermion closed form for
+    periodic L=1 TFIM; sparse Lanczos over the full space otherwise."""
+    from flow_guided_krylov_tpu.hamiltonians import (TransverseFieldIsing,
+                                                     extract_coeffs_and_paulis)
+    n = ham.n_sites
+    if n <= 14:
+        from flow_guided_krylov_tpu.postprocessing import \
+            ProjectedHamiltonianBuilder
+        coeffs, words = extract_coeffs_and_paulis(ham)
+        builder = ProjectedHamiltonianBuilder.from_coeffs_and_words(
+            coeffs, words)
+        states = np.arange(1 << n, dtype=np.uint64)
+        return float(np.linalg.eigvalsh(builder.build_dense(states))[0])
+    if isinstance(ham, TransverseFieldIsing) and ham.L == 1 and ham.periodic:
+        return tfim_free_fermion_energy(n, ham.V, ham.h)
+    import scipy.sparse.linalg as spla
+    states = np.arange(1 << n, dtype=np.uint32)[:, None]
+    H = ham.to_sparse(states)
+    return float(spla.eigsh(H, k=1, which="SA")[0][0])
 
 
-def validate(model: str, n_spins: int, h_field: float, krylov_dim: int = 12,
-             shots: int = 50_000, verbose: bool = True) -> dict:
+def basis_energy(ham, basis: np.ndarray) -> float:
+    """Ground energy of H projected onto ``basis`` (float64 eigensolve)."""
+    return float(ham.exact_ground_state(np.atleast_2d(basis), k=1)[0][0])
+
+
+def make_hamiltonian(model: str, n_spins: int, h_field: float):
     from flow_guided_krylov_tpu.hamiltonians import (HeisenbergHamiltonian,
                                                      TransverseFieldIsing)
-    from flow_guided_krylov_tpu.krylov import (
-        SKQDConfig, SampleBasedKrylovDiagonalization)
-
     if model == "tfim":
-        ham = TransverseFieldIsing(n_spins, V=1.0, h=h_field)
+        ham = TransverseFieldIsing(n_spins, V=1.0, h=h_field, periodic=True)
         init = np.array([0], np.uint32)                  # |0...0>
     else:
-        ham = HeisenbergHamiltonian(n_spins, 1.0, 1.0, 1.0,
-                                    h_x=h_field * np.ones(n_spins))
+        # small h_z perturbation on site 0 breaks the ground degeneracy
+        # (reference ``skqd_lattice_validation.py:296-316``)
+        h_z = np.zeros(n_spins)
+        h_z[0] = h_field
+        ham = HeisenbergHamiltonian(n_spins, 1.0, 1.0, 1.0, h_z=h_z)
         neel = sum(1 << i for i in range(0, n_spins, 2))
         init = np.array([neel], np.uint32)
+    return ham, init
 
-    e_exact = exact_oracle(ham)
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def run_pure_skqd(ham, init, krylov_dim: int, shots: int, seed: int = 0,
+                  evolution: str = "auto") -> dict:
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
     skqd = SampleBasedKrylovDiagonalization(
         ham, SKQDConfig(max_krylov_dim=krylov_dim, shots_per_krylov=shots,
-                        time_step=0.1),
+                        time_step=0.1, seed=seed, evolution=evolution),
         initial_state=init)
     out = skqd.run()
+    return {"energy": out["final_energy"],
+            "basis": out["bases"][-1],
+            "basis_size": out["basis_sizes"][-1],
+            "energies_vs_k": out["energies"],
+            "trotter": skqd.use_trotter}
+
+
+def run_nf_pipeline(ham, e_exact, max_epochs: int, skip_skqd: bool,
+                    krylov_dim: int = 12, shots: int = 100_000,
+                    seed: int = 0):
+    """NF-only (skip_skqd) or NF+SKQD pipeline on a spin Hamiltonian
+    (reference modes B/C)."""
+    from flow_guided_krylov_tpu import FlowGuidedKrylovPipeline, \
+        PipelineConfig
+    cfg = PipelineConfig(
+        use_particle_conserving_flow=False,
+        use_residual_expansion=False,
+        skip_skqd=skip_skqd,
+        max_krylov_dim=krylov_dim,
+        shots_per_krylov=shots,
+        max_epochs=max_epochs,
+        seed=seed,
+        verbose=False,
+    )
+    pipe = FlowGuidedKrylovPipeline(ham, config=cfg, exact_energy=e_exact)
+    results = pipe.run()
+    return results, pipe
+
+
+# ---------------------------------------------------------------------------
+# Experiments
+# ---------------------------------------------------------------------------
+
+def run_three_mode_experiment(model: str, n_spins: int, h_field: float,
+                              krylov_dim: int, shots: int,
+                              max_epochs: int) -> dict:
+    """Pure SKQD vs NF-only vs NF+SKQD (reference experiments 1 and 2)."""
+    ham, init = make_hamiltonian(model, n_spins, h_field)
+    e_exact = exact_oracle(ham)
+    t0 = time.time()
+
+    pure = run_pure_skqd(ham, init, krylov_dim, shots)
+    nf_res, _ = run_nf_pipeline(ham, e_exact, max_epochs, skip_skqd=True)
+    comb_res, _ = run_nf_pipeline(ham, e_exact, max_epochs, skip_skqd=False,
+                                  krylov_dim=krylov_dim, shots=shots)
+
+    e_skqd = pure["energy"]
+    e_nf = nf_res["combined_energy"]
+    e_comb = comb_res["combined_energy"]
+    errs = {"skqd": 1000 * abs(e_skqd - e_exact),
+            "nf": 1000 * abs(e_nf - e_exact),
+            "combined": 1000 * abs(e_comb - e_exact)}
+    best = min(errs, key=errs.get)
+
+    print(f"\n{'=' * 66}\n{model.upper()} RESULTS ({n_spins} spins, "
+          f"h={h_field}):\n{'=' * 66}")
+    print(f"{'Method':<22}{'Basis':>8}{'Energy':>16}{'Err (mHa)':>12}")
+    print("-" * 58)
+    print(f"{'Exact':<22}{'-':>8}{e_exact:>16.8f}{0.0:>12.4f}")
+    print(f"{'Pure SKQD':<22}{pure['basis_size']:>8}{e_skqd:>16.8f}"
+          f"{errs['skqd']:>12.4f}")
+    print(f"{'NF only':<22}{nf_res['nf_basis_size']:>8}{e_nf:>16.8f}"
+          f"{errs['nf']:>12.4f}")
+    print(f"{'NF + SKQD':<22}{'-':>8}{e_comb:>16.8f}"
+          f"{errs['combined']:>12.4f}")
+    print(f"Best method: {best} | SKQD "
+          f"{'OUTPERFORMS' if errs['skqd'] < errs['nf'] else 'underperforms'}"
+          f" NF | wall {time.time() - t0:.1f}s")
+    return {"model": model, "n_spins": n_spins, "h": h_field,
+            "exact_energy": e_exact, "skqd_energy": e_skqd,
+            "nf_energy": e_nf, "combined_energy": e_comb,
+            "errors_mha": errs, "best": best,
+            "skqd_basis_size": pure["basis_size"],
+            "nf_basis_size": nf_res["nf_basis_size"]}
+
+
+def run_convergence_scan(n_spins: int, krylov_dim: int, shots: int,
+                         h_values=(0.1, 0.3, 0.5, 1.0, 2.0)) -> list:
+    """Krylov convergence vs transverse field h (reference experiment 3;
+    regression target SKQD_VALIDATION_REPORT.md:58-64)."""
+    rows = []
+    for hh in h_values:
+        ham, init = make_hamiltonian("tfim", n_spins, hh)
+        e_exact = exact_oracle(ham)
+        pure = run_pure_skqd(ham, init, krylov_dim, shots)
+        rows.append({"h": hh, "exact": e_exact,
+                     "error_mha": 1000 * (pure["energy"] - e_exact),
+                     "basis_size": pure["basis_size"],
+                     "energies_vs_k": [round(1000 * (e - e_exact), 4)
+                                       for e in pure["energies_vs_k"]]})
+    print(f"\n{'h':>5}{'err (mHa)':>12}{'basis':>8}   (full space "
+          f"{1 << n_spins})")
+    for r in rows:
+        print(f"{r['h']:>5}{r['error_mha']:>12.4f}{r['basis_size']:>8}")
+    print("Expected: lower h -> sparser ground state -> faster convergence")
+    return rows
+
+
+def run_discovery_comparison(n_spins: int, h_field: float, krylov_dim: int,
+                             shots: int, max_epochs: int) -> dict:
+    """Which configurations each method discovers (reference experiment 4,
+    ``skqd_lattice_validation.py:513-606``)."""
+    ham, init = make_hamiltonian("tfim", n_spins, h_field)
+    e_exact = exact_oracle(ham)
+    t0 = time.time()
+
+    pure = run_pure_skqd(ham, init, krylov_dim, shots)
+    krylov_set = set(int(x) for x in np.asarray(pure["basis"])[:, 0])
+
+    nf_res, pipe = run_nf_pipeline(ham, e_exact, max_epochs, skip_skqd=True)
+    nf_set = set(int(x) for x in np.asarray(pipe.nf_basis)[:, 0])
+
+    krylov_only = krylov_set - nf_set
+    nf_only = nf_set - krylov_set
+    both = krylov_set & nf_set
+    combined = krylov_set | nf_set
+
+    def to_basis(s):
+        return np.array(sorted(s), np.uint32)[:, None]
+
+    e_nf = basis_energy(ham, to_basis(nf_set))
+    e_krylov = pure["energy"]
+    e_comb = basis_energy(ham, to_basis(combined))
+    err_nf = 1000 * abs(e_nf - e_exact)
+    err_krylov = 1000 * abs(e_krylov - e_exact)
+    err_comb = 1000 * abs(e_comb - e_exact)
+
+    print(f"\n{'=' * 66}\nDISCOVERY COMPARISON (TFIM {n_spins} spins, "
+          f"h={h_field}):\n{'=' * 66}")
+    print(f"Krylov-only configs: {len(krylov_only)}   "
+          f"NF-only: {len(nf_only)}   both: {len(both)}   "
+          f"combined: {len(combined)}")
+    print(f"{'Basis':<22}{'Size':>8}{'Energy':>16}{'Err (mHa)':>12}")
+    print("-" * 58)
+    print(f"{'Exact':<22}{'-':>8}{e_exact:>16.8f}{0.0:>12.4f}")
+    print(f"{'NF only':<22}{len(nf_set):>8}{e_nf:>16.8f}{err_nf:>12.4f}")
+    print(f"{'Krylov only':<22}{len(krylov_set):>8}{e_krylov:>16.8f}"
+          f"{err_krylov:>12.4f}")
+    print(f"{'Combined':<22}{len(combined):>8}{e_comb:>16.8f}"
+          f"{err_comb:>12.4f}")
+    print(f"Krylov-unique configs improve NF energy by "
+          f"{err_nf - err_comb:.4f} mHa | wall {time.time() - t0:.1f}s")
+    if krylov_only:
+        print(f">>> KRYLOV FOUND {len(krylov_only)} CONFIGS NF MISSED <<<")
+    return {"n_spins": n_spins, "h": h_field, "exact_energy": e_exact,
+            "krylov_only": len(krylov_only), "nf_only": len(nf_only),
+            "both": len(both), "combined": len(combined),
+            "errors_mha": {"nf": err_nf, "krylov": err_krylov,
+                           "combined": err_comb},
+            "improvement_mha": err_nf - err_comb}
+
+
+def run_large_spin(n_spins: int, h_field: float, krylov_dim: int,
+                   shots: int) -> dict:
+    """Large-spin SKQD through the statevector-Trotter path: the 2^n space
+    is never enumerated; evolution is Trotterized Pauli rotations on a
+    device-resident statevector and the projected H covers only sampled
+    configs (new capability; VERDICT round-1 item 8)."""
+    ham, init = make_hamiltonian("tfim", n_spins, h_field)
+    e_exact = exact_oracle(ham)          # free-fermion closed form
+    t0 = time.time()
+    pure = run_pure_skqd(ham, init, krylov_dim, shots)
     res = {
-        "model": model, "n_spins": n_spins, "h": h_field,
+        "n_spins": n_spins, "h": h_field,
+        "hilbert_dim": 1 << n_spins,
+        "trotter_path": pure["trotter"],
         "exact_energy": e_exact,
-        "skqd_energy": out["final_energy"],
-        "error_mha": 1000 * (out["final_energy"] - e_exact),
-        "basis_size": out["basis_sizes"][-1],
-        "energies_vs_k": [round(1000 * (e - e_exact), 4)
-                          for e in out["energies"]],
+        "skqd_energy": pure["energy"],
+        "error_mha": 1000 * (pure["energy"] - e_exact),
+        "basis_size": pure["basis_size"],
+        "wall_s": round(time.time() - t0, 1),
     }
-    if verbose:
-        print(json.dumps(res))
+    print(json.dumps(res))
+    assert pure["trotter"], "expected the statevector Trotter path"
     return res
 
 
+# ---------------------------------------------------------------------------
+
 def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="tfim", choices=["tfim", "heisenberg"])
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--system", "-s", default="tfim",
+                   choices=["tfim", "heisenberg", "convergence",
+                            "discovery", "large", "all"])
     p.add_argument("--spins", type=int, default=10)
-    p.add_argument("--h", type=float, default=0.5)
+    p.add_argument("--h", type=float, default=0.5,
+                   help="transverse field (tfim) / h_z perturbation "
+                        "(heisenberg)")
     p.add_argument("--krylov-dim", type=int, default=12)
+    p.add_argument("--shots", type=int, default=100_000)
+    p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--scan", action="store_true",
-                   help="TFIM Krylov convergence vs h in {0.1,0.3,0.5,1.0}")
+                   help="alias for --system convergence")
+    # back-compat with the round-1 CLI
+    p.add_argument("--model", dest="system_alias", default=None,
+                   choices=["tfim", "heisenberg"])
     args = p.parse_args()
-    if args.scan:
-        rows = [validate("tfim", args.spins, hh, args.krylov_dim,
-                         verbose=False) for hh in (0.1, 0.3, 0.5, 1.0)]
-        print(f"{'h':>5}{'err (mHa)':>12}{'basis':>8}")
-        for r in rows:
-            print(f"{r['h']:>5}{r['error_mha']:>12.4f}{r['basis_size']:>8}")
-    else:
-        validate(args.model, args.spins, args.h, args.krylov_dim)
+    system = "convergence" if args.scan else \
+        (args.system_alias or args.system)
+
+    if system in ("tfim", "all"):
+        run_three_mode_experiment("tfim", args.spins, args.h,
+                                  args.krylov_dim, args.shots, args.epochs)
+    if system in ("heisenberg", "all"):
+        h = args.h if system == "heisenberg" else 0.1
+        run_three_mode_experiment("heisenberg", args.spins, h,
+                                  args.krylov_dim, args.shots, args.epochs)
+    if system in ("convergence", "all"):
+        # reference experiment 3 runs at krylov dim 15 (``:452-456``)
+        run_convergence_scan(args.spins, max(args.krylov_dim, 15),
+                             args.shots)
+    if system in ("discovery", "all"):
+        run_discovery_comparison(args.spins, args.h, args.krylov_dim,
+                                 args.shots, args.epochs)
+    if system == "large":
+        run_large_spin(args.spins, args.h, args.krylov_dim, args.shots)
 
 
 if __name__ == "__main__":

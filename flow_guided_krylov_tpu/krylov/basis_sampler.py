@@ -60,28 +60,52 @@ def _xor_permute(psi: jnp.ndarray, x_mask: int, n_qubits: int) -> jnp.ndarray:
     """psi[k ^ x_mask] via axis flips — XOR by a mask is a composition of
     single-bit reflections, so on TPU it lowers to cheap strided reverses
     instead of a random gather (the gather formulation is ~10x slower on
-    the VPU for large statevectors)."""
-    shape = (2,) * n_qubits
-    v = psi.reshape(shape)            # axis j <-> qubit (n_qubits-1-j)
-    axes = [n_qubits - 1 - q for q in range(n_qubits) if (x_mask >> q) & 1]
-    if axes:
-        v = jnp.flip(v, axis=axes)
-    return v.reshape(-1)
+    the VPU for large statevectors).  Each set bit gets its own rank-3
+    (left, 2, right) reshape + flip rather than one rank-n multi-axis
+    flip: TPU XLA rejects tensors beyond rank ~8, and Pauli words touch
+    at most two qubits so the pass count stays small."""
+    for q in range(n_qubits):
+        if (x_mask >> q) & 1:
+            v = psi.reshape(1 << (n_qubits - 1 - q), 2, 1 << q)
+            psi = jnp.flip(v, axis=1).reshape(-1)
+    return psi
 
 
-@partial(jax.jit, static_argnames=("x_mask", "z_mask", "n_y", "n_qubits"))
-def _apply_pauli_rotation(psi: jnp.ndarray, theta: jnp.ndarray,
-                          x_mask: int, z_mask: int,
-                          n_y: int, n_qubits: int) -> jnp.ndarray:
-    """psi' = exp(-i theta P) psi = cos(theta) psi - i sin(theta) (P psi)."""
+def _pauli_rotation_pair(re: jnp.ndarray, im: jnp.ndarray,
+                         theta: jnp.ndarray, x_mask: int, z_mask: int,
+                         n_y: int, n_qubits: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """psi' = exp(-i theta P) psi = cos(theta) psi - i sin(theta) (P psi),
+    carried as (re, im) float32 pairs: the axon TPU backend rejects
+    complex64 device buffers (in-graph complex is fine, but these arrays
+    cross jit boundaries), and real pairs also skip the complex-mul
+    emulation entirely.  (1j)**n_y is static, so the phase arithmetic
+    constant-folds at trace time."""
     dim = 1 << n_qubits
     idx = jnp.arange(dim, dtype=jnp.uint32)
     src = idx ^ jnp.uint32(x_mask)
-    # (P psi)[k] = phase(k ^ x_mask) * psi[k ^ x_mask]
+    # (P psi)[k] = s * (a + ib) * psi[k ^ x_mask],  s = (-1)^parity(z&src)
     par = jax.lax.population_count(src & jnp.uint32(z_mask)) & jnp.uint32(1)
-    phase = (1j) ** n_y * jnp.where(par == 1, -1.0 + 0j, 1.0 + 0j)
-    p_psi = phase * _xor_permute(psi, x_mask, n_qubits)
-    return jnp.cos(theta) * psi - 1j * jnp.sin(theta) * p_psi
+    s = 1.0 - 2.0 * par.astype(jnp.float32)
+    a = int(((1j) ** n_y).real)
+    b = int(((1j) ** n_y).imag)
+    xr = _xor_permute(re, x_mask, n_qubits)
+    xi = _xor_permute(im, x_mask, n_qubits)
+    p_re = s * (a * xr - b * xi)
+    p_im = s * (a * xi + b * xr)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # psi' = ct*psi - i*st*(p_re + i p_im) = (ct*re + st*p_im,
+    #                                         ct*im - st*p_re)
+    return ct * re + st * p_im, ct * im - st * p_re
+
+
+@partial(jax.jit, static_argnames=("x_mask", "z_mask", "n_y", "n_qubits"))
+def _apply_pauli_rotation(re: jnp.ndarray, im: jnp.ndarray,
+                          theta: jnp.ndarray, x_mask: int, z_mask: int,
+                          n_y: int, n_qubits: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _pauli_rotation_pair(re, im, theta, x_mask, z_mask, n_y,
+                                n_qubits)
 
 
 class KrylovBasisSampler:
@@ -116,13 +140,15 @@ class KrylovBasisSampler:
         """2nd-order-free (first-order) Trotterized exp(-i H t)|psi0>."""
         c = self.config
         dim = 1 << self.n_qubits
-        psi = jnp.zeros(dim, jnp.complex64).at[self._initial_state()].set(1.0)
+        re = jnp.zeros(dim, jnp.float32).at[self._initial_state()].set(1.0)
+        im = jnp.zeros(dim, jnp.float32)
         dt = t / c.num_trotter_steps
         for _ in range(c.num_trotter_steps):
             for coef, (xm, zm, ny) in zip(self.coeffs, self.masks):
-                psi = _apply_pauli_rotation(
-                    psi, jnp.float32(coef * dt), xm, zm, ny, self.n_qubits)
-        return np.asarray(psi)
+                re, im = _apply_pauli_rotation(
+                    re, im, jnp.float32(coef * dt), xm, zm, ny,
+                    self.n_qubits)
+        return np.asarray(re) + 1j * np.asarray(im)
 
     def sample(self, t: Optional[float] = None,
                shots: Optional[int] = None) -> Dict[int, int]:

@@ -48,14 +48,19 @@ class SKQDConfig:
     """SKQD knobs (reference ``skqd.py:48-72``)."""
     max_krylov_dim: int = 12
     time_step: float = 0.1
-    num_trotter_steps: int = 8          # scipy path substeps
+    num_trotter_steps: int = 8          # scipy / trotter path substeps
     shots_per_krylov: int = 100_000
     use_cumulative_basis: bool = True
     num_eigenvalues: int = 2
     regularization: float = 1e-8
     use_device_evolution: bool = True
-    evolution: str = "auto"            # 'auto' | 'dense' | 'ell' | 'scipy'
+    evolution: str = "auto"   # 'auto' | 'dense' | 'ell' | 'scipy' | 'trotter'
     lanczos_dim: int = 30
+    # spin systems beyond this many sites evolve a full 2^n statevector
+    # with 2nd-order Trotter over Pauli words instead of materializing the
+    # subspace Hamiltonian (reference ``skqd.py:421-536``); 2^17 = 131k is
+    # where host sparse-H assembly over the full space stops being cheap
+    trotter_threshold: int = 17
     seed: int = 0
     verbose: bool = False
 
@@ -160,10 +165,20 @@ def lanczos_expm_ell(diag: jnp.ndarray, elems: jnp.ndarray,
     return _lanczos_expm_impl(mv, psi_re, psi_im, dt, m)
 
 
+@partial(jax.jit, static_argnames=("shots",))
+def _sample_idx_cdf(key, prob, shots: int):
+    """Multinomial sampling by inverse CDF: cumsum + sorted uniforms via
+    searchsorted.  Unlike ``jax.random.categorical`` this never
+    materializes a (shots, dim) Gumbel tensor, so it scales to 2^24-entry
+    statevectors and 100k-shot budgets."""
+    cdf = jnp.cumsum(prob)
+    u = jax.random.uniform(key, (shots,)) * cdf[-1]
+    return jnp.searchsorted(cdf, u)
+
+
 @partial(jax.jit, static_argnames=("shots", "n"))
 def _sample_counts_device(key, psi_re, psi_im, shots: int, n: int):
-    logp = jnp.log(psi_re ** 2 + psi_im ** 2 + 1e-30)
-    idx = jax.random.categorical(key, logp, shape=(shots,))
+    idx = _sample_idx_cdf(key, psi_re ** 2 + psi_im ** 2, shots)
     return jnp.bincount(idx, length=n)
 
 
@@ -183,17 +198,34 @@ class SampleBasedKrylovDiagonalization:
         self.mesh = mesh  # optional ('data','basis') Mesh: H rows sharded
         self.is_molecular = hasattr(hamiltonian, "n_alpha")
 
+        # Large spin systems evolve a full 2^n statevector with Trotterized
+        # Pauli rotations (reference ``skqd.py:421-536``) instead of
+        # enumerating the space and assembling a subspace Hamiltonian —
+        # 2^24 complex64 is 128 MB of HBM, while the sparse H would hold
+        # ~2^24 * n_sites nonzeros.  Trotter error only perturbs *which*
+        # configs get sampled; the projected eigensolve is exact either way.
+        c = self.config
+        self.use_trotter = (not self.is_molecular) and (
+            c.evolution == "trotter"
+            or (c.evolution == "auto"
+                and hamiltonian.n_sites > c.trotter_threshold))
+
         # subspace setup (reference ``skqd.py:135-177``)
-        if self.is_molecular:
+        if self.use_trotter:
+            self.subspace = None
+            self.dim = 1 << hamiltonian.n_sites
+            self._keys = self._order = self._sorted_keys = None
+        elif self.is_molecular:
             self.subspace = hamiltonian.enumerate_basis()      # (N, 2) uint32
         else:
             n = hamiltonian.n_sites
             states = np.arange(1 << n, dtype=np.uint32)
             self.subspace = states[:, None]                    # (N, 1)
-        self.dim = len(self.subspace)
-        self._keys = self.h.keys(self.subspace)
-        self._order = np.argsort(self._keys)
-        self._sorted_keys = self._keys[self._order]
+        if self.subspace is not None:
+            self.dim = len(self.subspace)
+            self._keys = self.h.keys(self.subspace)
+            self._order = np.argsort(self._keys)
+            self._sorted_keys = self._keys[self._order]
 
         # initial state: HF for molecules, Neel otherwise (``skqd.py:114-120``)
         if initial_state is None:
@@ -210,6 +242,7 @@ class SampleBasedKrylovDiagonalization:
         self._h_sparse: Optional[sp.csr_matrix] = None
         self._h_dense_dev = None
         self._ell = None
+        self._trotter = None
         self.key = jax.random.PRNGKey(self.config.seed)
 
     # ------------------------------------------------------------------
@@ -225,9 +258,80 @@ class SampleBasedKrylovDiagonalization:
     @property
     def subspace_hamiltonian(self) -> sp.csr_matrix:
         """Sparse subspace H, built once (reference ``skqd.py:374-419``)."""
+        if self.subspace is None:
+            raise RuntimeError(
+                "Trotter mode never materializes the subspace Hamiltonian "
+                f"(2^{self.h.n_sites} states); use the statevector path")
         if self._h_sparse is None:
             self._h_sparse = self.h.to_sparse(self.subspace)
         return self._h_sparse
+
+    # ------------------------------------------------------------------
+    # Statevector Trotter propagator (large spin systems)
+    # ------------------------------------------------------------------
+
+    def _trotter_ops(self):
+        """Jitted 2nd-order Trotter substep over the Hamiltonian's Pauli
+        words (reference ``skqd.py:421-536``).
+
+        All diagonal words (x_mask == 0) fold into ONE precomputed phase
+        vector exp(-i dt/2 * D); off-diagonal words become fused
+        XOR-permute + phase rotations (``basis_sampler.py`` machinery),
+        applied forward then in reverse at half angle so the splitting is
+        symmetric.  The substep compiles once per (H, dt)."""
+        if self._trotter is not None:
+            return self._trotter
+
+        from ..hamiltonians.spin import extract_coeffs_and_paulis
+        from .basis_sampler import _pauli_masks, _pauli_rotation_pair
+
+        coeffs, words = extract_coeffs_and_paulis(self.h)
+        n = self.h.n_sites
+        masks = [_pauli_masks(w) for w in words]
+        diag = [(c, zm) for c, (xm, zm, _) in zip(coeffs, masks) if xm == 0]
+        offd = [(c, xm, zm, ny) for c, (xm, zm, ny) in zip(coeffs, masks)
+                if xm != 0]
+        dt_sub = self.config.time_step / max(self.config.num_trotter_steps, 1)
+
+        # exp(-i dt/2 * D) as a (cos, sin) f32 pair: complex64 device
+        # buffers are rejected by the axon TPU backend, and real pairs
+        # halve the HBM traffic anyway
+        @jax.jit
+        def _half_phase():
+            idx = jnp.arange(self.dim, dtype=jnp.uint32)
+            D = jnp.zeros(self.dim, jnp.float32)
+            for c, zm in diag:
+                par = jax.lax.population_count(idx & jnp.uint32(zm))
+                sign = 1.0 - 2.0 * (par & jnp.uint32(1)).astype(jnp.float32)
+                D = D + jnp.float32(c) * sign
+            ang = 0.5 * dt_sub * D
+            return jnp.cos(ang), -jnp.sin(ang)
+
+        hp_re, hp_im = _half_phase()
+
+        @jax.jit
+        def substep(re, im, hr, hi):
+            def diag_mul(re, im):
+                return re * hr - im * hi, re * hi + im * hr
+
+            re, im = diag_mul(re, im)
+            for c, xm, zm, ny in offd:
+                re, im = _pauli_rotation_pair(
+                    re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+            for c, xm, zm, ny in reversed(offd):
+                re, im = _pauli_rotation_pair(
+                    re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+            return diag_mul(re, im)
+
+        self._trotter = (substep, hp_re, hp_im)
+        return self._trotter
+
+    def _evolve_trotter(self, re: jnp.ndarray, im: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        substep, hp_re, hp_im = self._trotter_ops()
+        for _ in range(max(self.config.num_trotter_steps, 1)):
+            re, im = substep(re, im, hp_re, hp_im)
+        return re, im
 
     def _device_hamiltonian(self):
         if self._h_dense_dev is None:
@@ -357,6 +461,8 @@ class SampleBasedKrylovDiagonalization:
         """Sample at every Krylov step k=0..K-1, evolving in between
         (reference ``skqd.py:581-635``)."""
         c = self.config
+        if self.use_trotter:
+            return self._generate_krylov_samples_trotter()
         psi = np.zeros(self.dim, dtype=np.complex128)
         psi[self._index_of(self.initial_state)[0]] = 1.0
         samples = []
@@ -365,6 +471,26 @@ class SampleBasedKrylovDiagonalization:
             if k < c.max_krylov_dim - 1:
                 psi = self.evolve(psi)
                 psi = psi / np.linalg.norm(psi)
+        return samples
+
+    def _generate_krylov_samples_trotter(self) -> List[Dict[int, int]]:
+        """Statevector path: psi stays a device complex64 2^n vector for
+        the whole Krylov sweep; sampling is cumsum + searchsorted (no
+        (shots, 2^n) intermediates)."""
+        c = self.config
+        start = int(np.atleast_2d(self.initial_state)[0, 0])
+        re = jnp.zeros(self.dim, jnp.float32).at[start].set(1.0)
+        im = jnp.zeros(self.dim, jnp.float32)
+        samples = []
+        for k in range(c.max_krylov_dim):
+            self.key, sk = jax.random.split(self.key)
+            idx = np.asarray(_sample_idx_cdf(sk, re ** 2 + im ** 2,
+                                             c.shots_per_krylov))
+            vals, counts = np.unique(idx, return_counts=True)
+            samples.append({int(v): int(ct)
+                            for v, ct in zip(vals, counts)})
+            if k < c.max_krylov_dim - 1:
+                re, im = self._evolve_trotter(re, im)
         return samples
 
     def build_cumulative_basis(self, samples: List[Dict[int, int]]
@@ -376,8 +502,12 @@ class SampleBasedKrylovDiagonalization:
         for counts in samples:
             for idx, ct in counts.items():
                 seen[idx] = seen.get(idx, 0) + ct
-            idxs = np.fromiter(seen.keys(), dtype=np.int64)
-            bases.append(self.subspace[np.sort(idxs)])
+            idxs = np.sort(np.fromiter(seen.keys(), dtype=np.int64))
+            if self.subspace is None:
+                # trotter mode: sampled indices ARE the packed configs
+                bases.append(idxs.astype(np.uint32)[:, None])
+            else:
+                bases.append(self.subspace[idxs])
         return bases
 
     # ------------------------------------------------------------------

@@ -495,14 +495,21 @@ class FlowGuidedKrylovPipeline:
             skip_reason = "config.skip_skqd"
         elif c.max_krylov_dim <= 0:
             skip_reason = "max_krylov_dim <= 0"
-        elif self.n_valid > 200_000 * (self.mesh.size
-                                       if self.mesh is not None else 1):
+        elif self.is_molecular and self.n_valid > 200_000 * (
+                self.mesh.size if self.mesh is not None else 1):
             # subspace time evolution materializes the full particle-
             # conserving space; beyond ~200k determinants per device that
             # is neither enumerable on device nor sparse-assemblable on
             # host (a mesh shards the state/propagator, raising the cap)
             skip_reason = (f"subspace too large for SKQD evolution "
                            f"({self.n_valid:,} configs)")
+        elif not self.is_molecular and self.h.n_sites > 26:
+            # spin systems beyond the subspace cap evolve a full 2^n
+            # statevector with Trotterized Pauli rotations (SKQD routes
+            # there automatically); 2^26 complex64 = 512 MB is the
+            # single-chip statevector ceiling
+            skip_reason = (f"statevector too large for Trotter SKQD "
+                           f"(2^{self.h.n_sites} amplitudes)")
         elif (self.exact_energy is not None and residual_energy is not None
               and residual_energy - self.exact_energy < 1.0 * MHA):
             skip_reason = "residual already < 1 mHa"

@@ -64,3 +64,71 @@ def test_heisenberg_ground_state_sector():
     half = states[[bin(s).count("1") == 3 for s in states]][:, None]
     e_half = ham.exact_ground_state(half)[0][0]
     assert e_half == pytest.approx(e_full, abs=1e-10)
+
+
+def _exact_evolved(ham, psi0, t):
+    import scipy.linalg
+    H = ham.exact_dense()
+    return scipy.linalg.expm(-1j * t * H) @ psi0
+
+
+@pytest.mark.parametrize("ham,start", [
+    (TransverseFieldIsing(8, V=1.0, h=0.8), 0),
+    (HeisenbergHamiltonian(7, 1.0, 1.0, 0.9, h_z=0.1 * np.ones(7)),
+     sum(1 << i for i in range(0, 7, 2))),
+])
+def test_trotter_statevector_matches_exact_propagator(ham, start):
+    """The statevector Trotter substep (diag-phase + Pauli rotations)
+    converges to exp(-i dt H)|psi> as substeps grow."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    dt = 0.1
+    skqd = SampleBasedKrylovDiagonalization(
+        ham, SKQDConfig(time_step=dt, num_trotter_steps=16,
+                        evolution="trotter"),
+        initial_state=np.array([start], np.uint32))
+    assert skqd.use_trotter and skqd.subspace is None
+    import jax.numpy as jnp
+    re = jnp.zeros(skqd.dim, jnp.float32).at[start].set(1.0)
+    im = jnp.zeros(skqd.dim, jnp.float32)
+    re, im = skqd._evolve_trotter(re, im)
+    psi = np.asarray(re).astype(complex) + 1j * np.asarray(im)
+
+    psi0 = np.zeros(skqd.dim, complex)
+    psi0[start] = 1.0
+    psi_exact = _exact_evolved(ham, psi0, dt)
+    fidelity = abs(np.vdot(psi_exact, psi / np.linalg.norm(psi)))
+    assert fidelity > 0.9999, f"Trotter fidelity {fidelity}"
+
+
+def test_trotter_skqd_matches_subspace_skqd():
+    """SKQD through the statevector Trotter path reaches the same ground
+    state as the subspace propagator (TFIM-10, h=0.5)."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    tfim = TransverseFieldIsing(10, V=1.0, h=0.5)
+    e_exact = np.linalg.eigh(tfim.exact_dense())[0][0]
+    skqd = SampleBasedKrylovDiagonalization(
+        tfim, SKQDConfig(max_krylov_dim=10, shots_per_krylov=20000,
+                         time_step=0.1, seed=3, evolution="trotter"),
+        initial_state=np.array([0], np.uint32))
+    assert skqd.use_trotter
+    out = skqd.run()
+    err_mha = 1000 * (out["final_energy"] - e_exact)
+    assert err_mha >= -1e-6, "variational violation"
+    assert err_mha < 1.6, f"Trotter SKQD error {err_mha} mHa"
+
+
+def test_trotter_auto_routing_threshold():
+    """evolution='auto' picks the statevector path above the threshold and
+    the subspace path below it."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    small = SampleBasedKrylovDiagonalization(
+        TransverseFieldIsing(8, V=1.0, h=0.5), SKQDConfig())
+    assert not small.use_trotter and small.subspace is not None
+    big = SampleBasedKrylovDiagonalization(
+        TransverseFieldIsing(18, V=1.0, h=0.5),
+        SKQDConfig(trotter_threshold=17))
+    assert big.use_trotter and big.subspace is None
+    assert big.dim == 1 << 18
