@@ -355,10 +355,13 @@ class SampleBasedKrylovDiagonalization:
 
     def _dense_evolution_cap(self) -> int:
         """Max subspace dim for the dense device propagator: each chip
-        holds rows_per_chip * dim f32; scale the single-chip 20k cap by
-        sqrt(n_devices) so per-chip HBM stays constant."""
+        holds rows_per_chip * dim f32.  The single-chip cap is HBM-derived
+        (reference's GPU-memory-aware sizing, ``system_scaler.py:399-437``)
+        and scales by sqrt(n_devices) so per-chip HBM stays constant."""
+        from ..utils.memory import MemoryBudget
         n_dev = self.mesh.size if self.mesh is not None else 1
-        return int(20_000 * np.sqrt(n_dev))
+        cap = min(MemoryBudget.for_device().dense_hamiltonian_cap(), 20_000)
+        return int(cap * np.sqrt(n_dev))
 
     # ------------------------------------------------------------------
     # Time evolution

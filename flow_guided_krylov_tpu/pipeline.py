@@ -42,6 +42,12 @@ __all__ = ["PipelineConfig", "FlowGuidedKrylovPipeline",
            "EnhancedPipelineConfig"]
 
 MHA = 1e-3
+
+
+def _statevector_sites_cap() -> int:
+    """HBM-derived max spin count for full-statevector Trotter SKQD."""
+    from .utils.memory import MemoryBudget
+    return MemoryBudget.for_device().statevector_sites_cap()
 CHEMICAL_ACCURACY = 1.6e-3  # 1 kcal/mol in Hartree
 
 
@@ -232,6 +238,10 @@ class FlowGuidedKrylovPipeline:
             # Rayleigh quotient over the accumulated basis instead of
             # sampled VMC local energies
             return self._train_flow_nqs_subspace()
+        # HBM-aware capacity knobs (reference's GPU-memory-aware sizing,
+        # ``system_scaler.py:399-437``, rebuilt on jax memory_stats)
+        from .utils.memory import MemoryBudget
+        mem = MemoryBudget.for_device()
         tcfg = PhysicsGuidedConfig(
             num_epochs=c.max_epochs, min_epochs=c.min_epochs,
             samples_per_batch=c.samples_per_batch,
@@ -247,6 +257,10 @@ class FlowGuidedKrylovPipeline:
             # throttle it for large caps
             accumulated_energy_interval=(
                 50 if c.max_accumulated_basis <= 4096 else 200),
+            nqs_chunk_size=mem.nqs_chunk_size(self.h.n_sites,
+                                              c.nqs_hidden_dims),
+            connection_table_max_entries=mem.connection_table_entries(),
+            dense_local_energy_max_dim=mem.dense_hamiltonian_cap(),
             seed=c.seed, verbose=c.verbose)
         self.trainer = PhysicsGuidedFlowTrainer(self.h, self.flow, self.nqs,
                                                 tcfg, mesh=self.mesh)
@@ -503,11 +517,11 @@ class FlowGuidedKrylovPipeline:
             # host (a mesh shards the state/propagator, raising the cap)
             skip_reason = (f"subspace too large for SKQD evolution "
                            f"({self.n_valid:,} configs)")
-        elif not self.is_molecular and self.h.n_sites > 26:
+        elif not self.is_molecular and self.h.n_sites > \
+                _statevector_sites_cap():
             # spin systems beyond the subspace cap evolve a full 2^n
             # statevector with Trotterized Pauli rotations (SKQD routes
-            # there automatically); 2^26 complex64 = 512 MB is the
-            # single-chip statevector ceiling
+            # there automatically); the ceiling is HBM-derived
             skip_reason = (f"statevector too large for Trotter SKQD "
                            f"(2^{self.h.n_sites} amplitudes)")
         elif (self.exact_energy is not None and residual_energy is not None

@@ -2,6 +2,7 @@
 
 from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
 from .connection_table import DeviceConnectionTable, build_connection_table
+from .memory import MemoryBudget, device_memory_bytes
 from .profiling import StageTimer, device_memory_stats, trace
 from .system_scaler import (AdaptiveAdjuster, QualityPreset, SystemScaler,
                             SystemTier, auto_scale_pipeline,
@@ -13,4 +14,5 @@ __all__ = [
     "CheckpointManager", "save_checkpoint", "load_checkpoint",
     "DeviceConnectionTable", "build_connection_table",
     "StageTimer", "trace", "device_memory_stats",
+    "MemoryBudget", "device_memory_bytes",
 ]

@@ -102,6 +102,23 @@ class SystemScaler:
             "shots_per_krylov": int(min(200_000, max(10_000, n * 10))),
         }
 
+    def memory_parameters(self, n_sites: int,
+                          hidden_dims=None) -> Dict[str, int]:
+        """Device-memory-aware capacity knobs (reference GPU-memory chunk/
+        cache sizing, ``system_scaler.py:399-437``; here derived from the
+        JAX device's memory_stats — see ``utils/memory.py``).  These feed
+        ``PhysicsGuidedConfig`` / SKQD, which the pipeline wires
+        automatically; exposed here for parity and for direct trainer
+        construction."""
+        from .memory import MemoryBudget
+        mem = MemoryBudget.for_device()
+        return {
+            "nqs_chunk_size": mem.nqs_chunk_size(n_sites, hidden_dims),
+            "connection_table_max_entries": mem.connection_table_entries(),
+            "dense_local_energy_max_dim": mem.dense_hamiltonian_cap(),
+            "statevector_sites_cap": mem.statevector_sites_cap(),
+        }
+
     def create_pipeline_config(self, **overrides):
         """Build a PipelineConfig from the scaling laws
         (``system_scaler.py:439-485``)."""

@@ -1,0 +1,109 @@
+"""Execution-level tests for the example CLIs (tiny fast paths).
+
+Round-1 verdict: the six experiment scripts were smoke-tested only at
+``--help`` level, so a regression in the glue (geometry -> integrals ->
+scaler -> pipeline -> results keys) would ship silently.  These tests
+drive each script's main entry function in-process on the smallest
+possible system (H2-class molecules / 6-spin lattices), asserting on the
+real result dictionaries.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def load_example(name: str):
+    """Import an examples/ script as a module (they are not a package)."""
+    path = EXAMPLES / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_benchmark_pt2_only_h2():
+    bench = load_example("benchmark")
+    out = bench.pt2_only_run("h2")
+    assert out["chemical_accuracy"]
+    assert abs(out["error_mha"]) < 0.1
+    assert out["nf_basis_size"] >= 1
+
+
+def test_benchmark_quick_nf_only_h2():
+    bench = load_example("benchmark")
+    out = bench.benchmark_molecule("h2", quick=True, nf_only=True,
+                                   verbose=False)
+    assert out["chemical_accuracy"]
+    assert abs(out["error_mha"]) < 0.1
+    # results-dict compat contract keys
+    for key in ("nf_energy", "residual_energy", "final_energy"):
+        assert key in out
+
+
+def test_skqd_validation_isolated_h2():
+    val = load_example("skqd_validation")
+    out = val.run_isolated("h2")
+    assert out["experiment"] == "isolated"
+    assert abs(out["nf_skqd_mha"]) < 0.1
+    assert out["nf_basis_size"] >= 1
+
+
+def test_skqd_necessity_h2_redundant():
+    nec = load_example("skqd_necessity_test")
+    out = nec.necessity_test("h2", residual_iters=2, krylov_dim=3,
+                             verbose=False)
+    # H2's 4-config space is fully discovered by NF+residual: the
+    # reference records 0 Krylov-unique configs (REDUNDANT verdict)
+    assert out["verdict"] == "REDUNDANT"
+    assert out["krylov_unique_configs"] == 0
+    assert abs(out["nf_residual_mha"]) < 0.1
+
+
+def test_lattice_validation_tfim6():
+    lat = load_example("skqd_lattice_validation")
+    out = lat.run_three_mode_experiment("tfim", 6, 0.5, krylov_dim=4,
+                                        shots=4000, epochs=40)
+    assert out["errors_mha"]["skqd"] < 5.0     # pure SKQD converges
+    assert out["best"] in ("skqd", "nf", "combined")
+
+
+def test_moderate_benchmark_glue_tiny():
+    mod = load_example("moderate_system_benchmark")
+    # inject an H2-class entry so the full glue path (integrals -> scaler
+    # preset -> pipeline -> results keys) runs in seconds
+    mod.GEOMETRIES["h2_test"] = ([("H", (0, 0, 0)), ("H", (0, 0, 0.74))],
+                                 "sto-3g")
+    out = mod.run("h2_test", "fast")
+    assert out["chemical_accuracy"]
+    assert abs(out["error_mha"]) < 0.1
+    assert out["n_valid"] == 4
+
+
+def test_large_benchmark_glue_tiny_active_space():
+    large = load_example("large_system_benchmark")
+
+    def h2o_tiny():
+        from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+        from flow_guided_krylov_tpu.chem.active_space import \
+            compute_active_space_integrals
+        from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+        ang = np.radians(104.5)
+        geom = [("O", (0, 0, 0)), ("H", (0.96, 0, 0)),
+                ("H", (0.96 * np.cos(ang), 0.96 * np.sin(ang), 0))]
+        ints = compute_molecular_integrals(geom)
+        act = compute_active_space_integrals(ints, n_frozen=2, n_active=4)
+        return MolecularHamiltonian(act)
+
+    large.SYSTEMS["h2o_tiny_test"] = h2o_tiny
+    out = large.run("h2o_tiny_test", "fast")
+    # (6e, 4o) window: C(4,3)^2 = 16 configs, CAS energy must be recovered
+    assert out["n_valid"] == 16
+    assert out["chemical_accuracy"]
+    assert abs(out["error_mha"]) < 0.1
