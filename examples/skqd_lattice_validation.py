@@ -119,8 +119,10 @@ def run_nf_pipeline(ham, e_exact, max_epochs: int, skip_skqd: bool,
     (reference modes B/C)."""
     from flow_guided_krylov_tpu import FlowGuidedKrylovPipeline, \
         PipelineConfig
+    # use_particle_conserving_flow stays on: magnetization-conserving
+    # lattices (XXZ) get the k-hot SzConservingFlow, TFIM-class systems
+    # fall back to the discrete RealNVP sampler automatically
     cfg = PipelineConfig(
-        use_particle_conserving_flow=False,
         use_residual_expansion=False,
         skip_skqd=skip_skqd,
         max_krylov_dim=krylov_dim,

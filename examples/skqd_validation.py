@@ -6,6 +6,7 @@ Counterpart of ``/root/reference/examples/skqd_validation.py`` (6 modes):
   isolated    — NF-only vs NF+SKQD with residual expansion disabled
   provenance  — which configs NF finds vs Krylov finds vs both
   stretched   — stretched-geometry H2O / N2 (strong correlation)
+  stretched-full — stretched geometry through the FULL pipeline (PT2 incl.)
   poor-init   — deliberately under-trained NF (few epochs), SKQD rescues
   631g        — larger 6-31G basis (H2O active window)
   headtohead  — Krylov expansion vs PT2 residual expansion from the same NF basis
@@ -123,6 +124,39 @@ def run_stretched(molecule: str, stretch: float = 1.5):
     return res
 
 
+def run_stretched_full(molecule: str, stretch: float = 1.5):
+    """Stretched geometry through the FULL pipeline (PT2 included).
+
+    The plain ``stretched`` mode mirrors the reference experiment
+    (NF + SKQD only, ``skqd_validation.py:279-307``); this mode runs all
+    four stages so residual expansion closes the remaining gap — the
+    headline stretched-system number."""
+    from flow_guided_krylov_tpu.pipeline import (FlowGuidedKrylovPipeline,
+                                                 PipelineConfig)
+    h = build(molecule, stretch=stretch)
+    exact = h.fci_energy()
+    cfg = PipelineConfig(max_epochs=250, min_epochs=80,
+                         samples_per_batch=2000,
+                         nqs_hidden_dims=[256, 256, 256],
+                         nf_hidden_dims=[128, 128],
+                         residual_iterations=25,
+                         residual_configs_per_iter=300,
+                         max_accumulated_basis=16384, verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=exact)
+    out = pipe.run()
+    res = {
+        "experiment": "stretched-full", "molecule": molecule,
+        "stretch": stretch,
+        "nf_mha": 1000 * (out["nf_energy"] - exact),
+        "residual_mha": 1000 * (out["residual_energy"] - exact),
+        "final_mha": 1000 * (out["final_energy"] - exact),
+        "chemical_accuracy": bool(abs(out["final_energy"] - exact)
+                                  < 1.6e-3),
+    }
+    print(json.dumps(res))
+    return res
+
+
 def run_poor_init(molecule: str):
     """Under-trained NF (degradation test) — SKQD must rescue.
 
@@ -232,6 +266,7 @@ EXPERIMENTS = {
     "isolated": run_isolated,
     "provenance": run_provenance,
     "stretched": run_stretched,
+    "stretched-full": run_stretched_full,
     "poor-init": run_poor_init,
     "631g": lambda molecule: run_631g(
         molecule if molecule in ("lih", "h2o") else "lih"),
@@ -251,6 +286,8 @@ def main():
     for e in exps:
         if e == "stretched":
             run_stretched(args.molecule, args.stretch)
+        elif e == "stretched-full":
+            run_stretched_full(args.molecule, args.stretch)
         else:
             EXPERIMENTS[e](args.molecule)
 

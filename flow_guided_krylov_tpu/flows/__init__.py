@@ -3,7 +3,8 @@
 from .discrete import DiscreteFlowSampler, MultiModalPrior
 from .particle_conserving import (GumbelTopK, OrbitalScoringNetwork,
                                   ParticleConservingFlow,
-                                  ParticleConservingFlowSampler, gumbel_topk,
+                                  ParticleConservingFlowSampler,
+                                  SzConservingFlow, gumbel_topk,
                                   verify_particle_conservation)
 from .physics_guided_training import (PhysicsGuidedConfig,
                                       PhysicsGuidedFlowTrainer)

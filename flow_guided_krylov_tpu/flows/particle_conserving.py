@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 __all__ = ["ParticleConservingFlow", "ParticleConservingFlowSampler",
+           "SzConservingFlow",
            "gumbel_topk", "GumbelTopK", "OrbitalScoringNetwork",
            "verify_particle_conservation"]
 
@@ -124,6 +125,48 @@ class ParticleConservingFlow(nn.Module):
     def estimate_discrete_prob(self, configs: jnp.ndarray) -> jnp.ndarray:
         """p(x) = exp(log p(x)) (``particle_conserving_flow.py:357-370``)."""
         return jnp.exp(self.log_prob(configs))
+
+
+class SzConservingFlow(nn.Module):
+    """Exact-magnetization spin sampler: k-hot Gumbel-top-k over sites.
+
+    Spin analog of the molecular particle-conserving flow's alpha channel
+    (reference ``particle_conserving_flow.py:153-370``): for XXZ-class
+    Hamiltonians that conserve total S_z the ground state lives in one
+    fixed-popcount sector, so sampling k-hot configurations removes all
+    out-of-sector waste the RealNVP discrete flow pays (Heisenberg-10:
+    the S_z=0 sector is 252 of 1,024 states).
+
+    Method signatures mirror :class:`~..flows.discrete.DiscreteFlowSampler`
+    so :class:`~.spin_training.SpinFlowTrainer` drives either unchanged
+    (``estimate_discrete_prob`` takes and ignores (key, n_mc): the top-k
+    probability is exact, no MC needed).
+    """
+
+    n_sites: int
+    n_up: int
+
+    @nn.compact
+    def _logits(self, batch_size: int) -> jnp.ndarray:
+        prior = self.param("site_logits", nn.initializers.zeros,
+                           (self.n_sites,))
+        return jnp.broadcast_to(prior[None, :], (batch_size, self.n_sites))
+
+    def sample(self, key: jax.Array, batch: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logits = self._logits(batch)
+        occ = gumbel_topk(key, logits, self.n_up, jnp.float32(1.0))
+        hard = jax.lax.stop_gradient(jnp.round(occ))
+        return occ, _topk_log_prob(logits, hard, self.n_up)
+
+    def estimate_discrete_prob(self, key: jax.Array, configs: jnp.ndarray,
+                               n_mc: int = 0) -> jnp.ndarray:
+        return jnp.exp(self.log_prob(key, configs))
+
+    def log_prob(self, key: jax.Array, configs: jnp.ndarray,
+                 n_mc: int = 0) -> jnp.ndarray:
+        logits = self._logits(configs.shape[0])
+        return _topk_log_prob(logits, configs, self.n_up)
 
 
 def verify_particle_conservation(configs, n_alpha: int, n_beta: int,

@@ -68,6 +68,16 @@ class HeisenbergHamiltonian(_SpinBase):
         self._has_x_field = bool(np.any(np.abs(self.h_x) > 1e-10))
 
     @property
+    def conserves_magnetization(self) -> bool:
+        """True when total S_z commutes with H: the implemented terms
+        (Jz diagonal, antiparallel bond flips, h_z fields) all conserve
+        magnetization; only a transverse x/y field breaks it.  Callers
+        (SKQD, the pipeline flow selection) use this to restrict work to
+        the fixed-popcount sector of the initial state."""
+        return not (self._has_x_field
+                    or bool(np.any(np.abs(self.h_y) > 1e-10)))
+
+    @property
     def n_connections(self) -> int:
         return len(self.bonds) + (self.n_sites if self._has_x_field else 0)
 

@@ -182,6 +182,21 @@ def _sample_counts_device(key, psi_re, psi_im, shots: int, n: int):
     return jnp.bincount(idx, length=n)
 
 
+def _comb(n: int, k: int) -> int:
+    from math import comb
+    return comb(n, k)
+
+
+def _sector_states(n: int, k: int) -> np.ndarray:
+    """All n-bit states with popcount k, sorted (fixed-magnetization
+    sector of a conserving spin Hamiltonian)."""
+    from itertools import combinations
+    states = np.fromiter(
+        (sum(1 << i for i in occ) for occ in combinations(range(n), k)),
+        dtype=np.uint32, count=_comb(n, k))
+    return np.sort(states)
+
+
 # ---------------------------------------------------------------------------
 # SKQD
 # ---------------------------------------------------------------------------
@@ -198,35 +213,6 @@ class SampleBasedKrylovDiagonalization:
         self.mesh = mesh  # optional ('data','basis') Mesh: H rows sharded
         self.is_molecular = hasattr(hamiltonian, "n_alpha")
 
-        # Large spin systems evolve a full 2^n statevector with Trotterized
-        # Pauli rotations (reference ``skqd.py:421-536``) instead of
-        # enumerating the space and assembling a subspace Hamiltonian —
-        # 2^24 complex64 is 128 MB of HBM, while the sparse H would hold
-        # ~2^24 * n_sites nonzeros.  Trotter error only perturbs *which*
-        # configs get sampled; the projected eigensolve is exact either way.
-        c = self.config
-        self.use_trotter = (not self.is_molecular) and (
-            c.evolution == "trotter"
-            or (c.evolution == "auto"
-                and hamiltonian.n_sites > c.trotter_threshold))
-
-        # subspace setup (reference ``skqd.py:135-177``)
-        if self.use_trotter:
-            self.subspace = None
-            self.dim = 1 << hamiltonian.n_sites
-            self._keys = self._order = self._sorted_keys = None
-        elif self.is_molecular:
-            self.subspace = hamiltonian.enumerate_basis()      # (N, 2) uint32
-        else:
-            n = hamiltonian.n_sites
-            states = np.arange(1 << n, dtype=np.uint32)
-            self.subspace = states[:, None]                    # (N, 1)
-        if self.subspace is not None:
-            self.dim = len(self.subspace)
-            self._keys = self.h.keys(self.subspace)
-            self._order = np.argsort(self._keys)
-            self._sorted_keys = self._keys[self._order]
-
         # initial state: HF for molecules, Neel otherwise (``skqd.py:114-120``)
         if initial_state is None:
             if self.is_molecular:
@@ -238,6 +224,52 @@ class SampleBasedKrylovDiagonalization:
                     neel |= (1 << i)
                 initial_state = np.array([neel], dtype=np.uint32)
         self.initial_state = np.asarray(initial_state, np.uint32)
+
+        # Magnetization-conserving spin systems (XXZ without transverse
+        # fields) evolve inside the fixed-popcount sector of the initial
+        # state — the spin analog of the molecular particle-conserving
+        # subspace trick (Heisenberg-10: 1,024 -> 252).
+        self._sector_n_up: Optional[int] = None
+        if (not self.is_molecular
+                and getattr(hamiltonian, "conserves_magnetization", False)):
+            self._sector_n_up = int(
+                bin(int(self.initial_state.reshape(-1)[0])).count("1"))
+
+        # Large spin systems evolve a full 2^n statevector with Trotterized
+        # Pauli rotations (reference ``skqd.py:421-536``) instead of
+        # enumerating the space and assembling a subspace Hamiltonian —
+        # 2^24 complex64 is 128 MB of HBM, while the sparse H would hold
+        # ~2^24 * n_sites nonzeros.  Trotter error only perturbs *which*
+        # configs get sampled; the projected eigensolve is exact either way.
+        # A conserved-sector space small enough to enumerate stays on the
+        # subspace path regardless of the site count.
+        c = self.config
+        n_sites = hamiltonian.n_sites
+        sector_small = (self._sector_n_up is not None and _comb(
+            n_sites, self._sector_n_up) <= (1 << c.trotter_threshold))
+        self.use_trotter = (not self.is_molecular) and (
+            c.evolution == "trotter"
+            or (c.evolution == "auto" and n_sites > c.trotter_threshold
+                and not sector_small))
+
+        # subspace setup (reference ``skqd.py:135-177``)
+        if self.use_trotter:
+            self.subspace = None
+            self.dim = 1 << n_sites
+            self._keys = self._order = self._sorted_keys = None
+        elif self.is_molecular:
+            self.subspace = hamiltonian.enumerate_basis()      # (N, 2) uint32
+        elif self._sector_n_up is not None:
+            states = _sector_states(n_sites, self._sector_n_up)
+            self.subspace = states[:, None]                    # (N, 1)
+        else:
+            states = np.arange(1 << n_sites, dtype=np.uint32)
+            self.subspace = states[:, None]                    # (N, 1)
+        if self.subspace is not None:
+            self.dim = len(self.subspace)
+            self._keys = self.h.keys(self.subspace)
+            self._order = np.argsort(self._keys)
+            self._sorted_keys = self._keys[self._order]
 
         self._h_sparse: Optional[sp.csr_matrix] = None
         self._h_dense_dev = None

@@ -185,8 +185,19 @@ class FlowGuidedKrylovPipeline:
         # routing, ``pipeline.py:344-363``)
         self.is_molecular = hasattr(hamiltonian, "n_alpha")
 
-        self.n_valid = (hamiltonian.n_valid_configs if self.is_molecular
-                        else 1 << hamiltonian.n_sites)
+        self._spin_sector_n_up: Optional[int] = None
+        if self.is_molecular:
+            self.n_valid = hamiltonian.n_valid_configs
+        elif getattr(hamiltonian, "conserves_magnetization", False):
+            # magnetization-conserving spin system: the ground state lives
+            # in the fixed-popcount sector of the reference product state,
+            # so that sector is the effective search space
+            from math import comb
+            ref = int(self._spin_reference_state_for(hamiltonian)[0])
+            self._spin_sector_n_up = bin(ref).count("1")
+            self.n_valid = comb(hamiltonian.n_sites, self._spin_sector_n_up)
+        else:
+            self.n_valid = 1 << hamiltonian.n_sites
         self.config.adapt_to_system_size(self.n_valid)
 
         c = self.config
@@ -204,6 +215,17 @@ class FlowGuidedKrylovPipeline:
             self.nqs = DenseNQS(num_sites=2 * hamiltonian.n_orbitals,
                                 hidden_dims=tuple(c.nqs_hidden_dims))
             self.hf_state = hamiltonian.get_hf_state()
+        elif (self._spin_sector_n_up is not None
+              and c.use_particle_conserving_flow):
+            # magnetization-conserving spin system: k-hot sector sampler
+            # (spin analog of the particle-conserving flow)
+            from .flows.particle_conserving import SzConservingFlow
+            n = hamiltonian.n_sites
+            self.flow = SzConservingFlow(n_sites=n,
+                                         n_up=self._spin_sector_n_up)
+            self.nqs = DenseNQS(num_sites=n,
+                                hidden_dims=tuple(c.nqs_hidden_dims))
+            self.hf_state = self._spin_reference_state()
         else:
             from .flows.discrete import DiscreteFlowSampler
             n = hamiltonian.n_sites
@@ -279,13 +301,17 @@ class FlowGuidedKrylovPipeline:
         }
         return self.results["stage1"]
 
-    def _spin_reference_state(self) -> np.ndarray:
+    @staticmethod
+    def _spin_reference_state_for(h) -> np.ndarray:
         """Lowest-diagonal product state among zeros/ones/Neel."""
-        n = self.h.n_sites
+        n = h.n_sites
         neel = sum(1 << i for i in range(0, n, 2))
         cands = np.array([[0], [(1 << n) - 1], [neel]], np.uint32)
-        diag = self.h.diagonal_np(cands)
+        diag = h.diagonal_np(cands)
         return cands[int(np.argmin(diag))]
+
+    def _spin_reference_state(self) -> np.ndarray:
+        return self._spin_reference_state_for(self.h)
 
     def _train_flow_nqs_spin(self) -> Dict:
         from .flows.spin_training import SpinFlowTrainer

@@ -132,3 +132,51 @@ def test_trotter_auto_routing_threshold():
         SKQDConfig(trotter_threshold=17))
     assert big.use_trotter and big.subspace is None
     assert big.dim == 1 << 18
+
+
+def test_magnetization_sector_skqd():
+    """Conserving XXZ systems restrict SKQD to the fixed-popcount sector
+    (spin analog of the molecular particle-conserving subspace)."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    h = HeisenbergHamiltonian(8, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 7))
+    assert h.conserves_magnetization
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(max_krylov_dim=8, shots_per_krylov=20000, seed=1))
+    assert skqd.dim == 70                      # C(8,4), not 256
+    e_exact = np.linalg.eigh(h.exact_dense())[0][0]
+    out = skqd.run()
+    err = 1000 * (out["final_energy"] - e_exact)
+    assert err >= -1e-6
+    # all sampled configs stay in-sector
+    for b in out["bases"]:
+        pops = [bin(int(s)).count("1") for s in b[:, 0]]
+        assert set(pops) == {4}
+
+    # a transverse field breaks conservation -> full space
+    hx = HeisenbergHamiltonian(8, 1.0, 1.0, 1.0,
+                               h_x=np.full(8, 0.3))
+    assert not hx.conserves_magnetization
+    full = SampleBasedKrylovDiagonalization(hx, SKQDConfig())
+    assert full.dim == 256
+
+
+def test_sz_conserving_flow_pipeline():
+    """Pipeline picks the SzConservingFlow for conserving spin systems and
+    solves Heisenberg-8 to the exact sector ground state."""
+    from flow_guided_krylov_tpu.flows import SzConservingFlow
+    from flow_guided_krylov_tpu.pipeline import (FlowGuidedKrylovPipeline,
+                                                 PipelineConfig)
+    h = HeisenbergHamiltonian(8, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 7))
+    e_exact = np.linalg.eigh(h.exact_dense())[0][0]
+    cfg = PipelineConfig(max_epochs=60, min_epochs=20,
+                         samples_per_batch=512,
+                         nqs_hidden_dims=[128, 128], skip_skqd=True,
+                         use_residual_expansion=False, verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=e_exact)
+    assert isinstance(pipe.flow, SzConservingFlow)
+    assert pipe.n_valid == 70
+    out = pipe.run()
+    assert abs(out["final_energy"] - e_exact) < 1.6e-3
