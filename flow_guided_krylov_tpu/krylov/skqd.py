@@ -245,8 +245,17 @@ class SampleBasedKrylovDiagonalization:
         # subspace path regardless of the site count.
         c = self.config
         n_sites = hamiltonian.n_sites
-        sector_small = (self._sector_n_up is not None and _comb(
-            n_sites, self._sector_n_up) <= (1 << c.trotter_threshold))
+        sector_small = False
+        if self._sector_n_up is not None:
+            sector_dim = _comb(n_sites, self._sector_n_up)
+            # enumerable outright, or big but still ELL-evolvable on device
+            # (entries budget from HBM: Heisenberg-24's 2.7M-state sector
+            # at 25 connections/state is ~68M entries)
+            from ..utils.memory import MemoryBudget
+            sector_small = (
+                sector_dim <= (1 << c.trotter_threshold)
+                or sector_dim * (hamiltonian.n_connections + 1)
+                <= MemoryBudget.for_device().connection_table_entries())
         self.use_trotter = (not self.is_molecular) and (
             c.evolution == "trotter"
             or (c.evolution == "auto" and n_sites > c.trotter_threshold
@@ -395,6 +404,15 @@ class SampleBasedKrylovDiagonalization:
         cap = min(MemoryBudget.for_device().dense_hamiltonian_cap(), 20_000)
         return int(cap * np.sqrt(n_dev))
 
+    def _ell_fits_memory(self) -> bool:
+        """True when the fixed-degree (index, element) connection table of
+        the subspace fits the HBM connection-table budget."""
+        if self.subspace is None:
+            return False
+        from ..utils.memory import MemoryBudget
+        entries = self.dim * (self.h.n_connections + 1)
+        return entries <= MemoryBudget.for_device().connection_table_entries()
+
     # ------------------------------------------------------------------
     # Time evolution
     # ------------------------------------------------------------------
@@ -462,11 +480,16 @@ class SampleBasedKrylovDiagonalization:
         if mode == "auto":
             # dense rides the MXU comfortably to ~20k rows per chip; a mesh
             # shards rows across chips, raising the cap by sqrt(n_devices).
-            # Beyond that the f64 host propagator is the robust default
-            # (arbitrary-index SpMV gathers are a poor fit for the VPU —
-            # see ops/pallas_spmv.py)
-            mode = "dense" if self.dim <= self._dense_evolution_cap() \
-                else "scipy"
+            # Beyond that the fixed-degree ELL matvec keeps evolution on
+            # device while its (index, element) table fits the HBM budget
+            # (million-state conserved sectors); the f64 host propagator is
+            # the robust last resort.
+            if self.dim <= self._dense_evolution_cap():
+                mode = "dense"
+            elif self._ell_fits_memory():
+                mode = "ell"
+            else:
+                mode = "scipy"
         try:
             if mode == "ell":
                 return self._evolve_device_ell(psi)

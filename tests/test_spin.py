@@ -180,3 +180,23 @@ def test_sz_conserving_flow_pipeline():
     assert pipe.n_valid == 70
     out = pipe.run()
     assert abs(out["final_energy"] - e_exact) < 1.6e-3
+
+
+def test_large_sector_ell_evolution():
+    """A conserved sector too big to enumerate under the Trotter-threshold
+    gate (Heisenberg-20: C(20,10)=184,756 > 2^17) stays on the subspace
+    path when its ELL table fits the HBM budget, and evolves on device."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    h = HeisenbergHamiltonian(20, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 19))
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(max_krylov_dim=3, shots_per_krylov=2000,
+                      lanczos_dim=10, seed=0))
+    assert not skqd.use_trotter
+    assert skqd.dim == 184756
+    out = skqd.run()
+    # sampled configs stay in the popcount-10 sector
+    for b in out["bases"]:
+        assert {bin(int(s)).count("1") for s in b[:, 0]} == {10}
+    assert np.isfinite(out["final_energy"])
