@@ -449,6 +449,40 @@ class SampleBasedKrylovDiagonalization:
                 if t is None:
                     return None
                 self._ell = (t.diag, t.elems, t.target_idx)
+            elif (getattr(self.h, "pack_words", 1) == 1
+                  and hasattr(self.h, "connections_device")):
+                # build the table ON DEVICE: only the packed subspace
+                # (4 B/state) crosses the host link; connections, sector
+                # membership (searchsorted over the sorted uint32 states)
+                # and elements are computed in jitted chunks.  A 2.7M-state
+                # Heisenberg-24 sector table is ~500 MB of HBM but only
+                # ~11 MB of transfer.
+                dim = self.dim
+                sorted_states = jnp.asarray(
+                    np.sort(self.subspace[:, 0]))           # uint32 keys
+                order = jnp.asarray(
+                    np.argsort(self.subspace[:, 0]).astype(np.int32))
+                conn_fn = self.h.connections_device
+                diag_fn = self.h.diagonal_device
+
+                @jax.jit
+                def build_chunk(packed2):
+                    conn, elems = conn_fn(packed2)          # (M,C,1),(M,C)
+                    keys = conn[..., 0].reshape(-1)
+                    pos = jnp.clip(jnp.searchsorted(sorted_states, keys),
+                                   0, dim - 1)
+                    hit = sorted_states[pos] == keys
+                    tgt = jnp.where(hit, order[pos], 0).astype(jnp.int32)
+                    el = jnp.where(hit.reshape(elems.shape), elems, 0.0)
+                    return (diag_fn(packed2).astype(jnp.float32),
+                            el.astype(jnp.float32),
+                            tgt.reshape(elems.shape))
+
+                chunk = 262_144
+                parts = [build_chunk(jnp.asarray(self.subspace[i:i + chunk]))
+                         for i in range(0, dim, chunk)]
+                self._ell = tuple(jnp.concatenate([p[j] for p in parts])
+                                  for j in range(3))
             else:
                 conn, elems = self.h.connections_np(self.subspace)
                 keys = self.h.keys(conn.reshape(-1, conn.shape[-1]))
