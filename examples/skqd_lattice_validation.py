@@ -315,8 +315,12 @@ def main():
     p.add_argument("--model", dest="system_alias", default=None,
                    choices=["tfim", "heisenberg"])
     args = p.parse_args()
-    system = "convergence" if args.scan else \
-        (args.system_alias or args.system)
+    if args.scan:
+        system = "convergence"
+    elif args.system == "large":
+        system = "large"            # --model selects the lattice type
+    else:
+        system = args.system_alias or args.system
 
     if system in ("tfim", "all"):
         run_three_mode_experiment("tfim", args.spins, args.h,
