@@ -126,3 +126,18 @@ def test_measurement_utils():
     merged_basis = merge_bases(np.array([[1, 2]], np.uint32),
                                np.array([[1, 2], [3, 4]], np.uint32))
     assert len(merged_basis) == 2
+
+
+def test_adaptive_eigensolver_k2_davidson_range():
+    """ADVICE round-1: adaptive_eigensolver(k=2) in the Davidson size range
+    (500 <= n < 5000) must return two pairs (routes to eigsh)."""
+    import numpy as np
+    from flow_guided_krylov_tpu.postprocessing import adaptive_eigensolver
+    rng = np.random.default_rng(0)
+    n = 600
+    H = rng.normal(size=(n, n))
+    H = 0.5 * (H + H.T)
+    vals, vecs = adaptive_eigensolver(H, k=2)
+    assert vals.shape == (2,) and vecs.shape == (n, 2)
+    ref = np.sort(np.linalg.eigvalsh(H))[:2]
+    assert np.allclose(np.sort(vals), ref, atol=1e-6)
