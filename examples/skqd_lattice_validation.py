@@ -97,12 +97,13 @@ def make_hamiltonian(model: str, n_spins: int, h_field: float):
 # ---------------------------------------------------------------------------
 
 def run_pure_skqd(ham, init, krylov_dim: int, shots: int, seed: int = 0,
-                  evolution: str = "auto") -> dict:
+                  evolution: str = "auto", lanczos_dim: int = 30) -> dict:
     from flow_guided_krylov_tpu.krylov import (
         SKQDConfig, SampleBasedKrylovDiagonalization)
     skqd = SampleBasedKrylovDiagonalization(
         ham, SKQDConfig(max_krylov_dim=krylov_dim, shots_per_krylov=shots,
-                        time_step=0.1, seed=seed, evolution=evolution),
+                        time_step=0.1, seed=seed, evolution=evolution,
+                        lanczos_dim=lanczos_dim),
         initial_state=init)
     out = skqd.run()
     return {"energy": out["final_energy"],
@@ -273,7 +274,9 @@ def run_large_spin(n_spins: int, h_field: float, krylov_dim: int,
     """
     ham, init = make_hamiltonian(model, n_spins, h_field)
     t0 = time.time()
-    pure = run_pure_skqd(ham, init, krylov_dim, shots)
+    # dt=0.1 keeps ||H dt|| small: a 12-dim Lanczos propagator is plenty
+    # and halves the per-step matvec count on million-state sectors
+    pure = run_pure_skqd(ham, init, krylov_dim, shots, lanczos_dim=12)
     res = {
         "model": model, "n_spins": n_spins, "h": h_field,
         "hilbert_dim": 1 << n_spins,

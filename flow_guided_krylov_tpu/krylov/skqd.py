@@ -503,8 +503,16 @@ class SampleBasedKrylovDiagonalization:
         re = jnp.asarray(np.real(psi), jnp.float32)
         im = jnp.asarray(np.imag(psi), jnp.float32)
         m = min(self.config.lanczos_dim, self.dim)
-        out_r, out_i = lanczos_expm_ell(
-            diag, elems, tgt, re, im, jnp.float32(self.config.time_step), m)
+        dt = jnp.float32(self.config.time_step)
+        try:
+            out_r, out_i = lanczos_expm_ell(diag, elems, tgt, re, im, dt, m)
+        except NotImplementedError:
+            # Mosaic's gather support is shape-dependent (the small-shape
+            # capability probe can pass while a large-shape kernel hits
+            # "Only 2D gather is supported"): retry with the plain-XLA
+            # gather formulation, still on device
+            out_r, out_i = lanczos_expm_ell(diag, elems, tgt, re, im, dt, m,
+                                            use_pallas=False)
         return np.asarray(out_r) + 1j * np.asarray(out_i)
 
     def evolve(self, psi: np.ndarray) -> np.ndarray:
