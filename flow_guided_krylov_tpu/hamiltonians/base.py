@@ -61,12 +61,19 @@ class Hamiltonian(ABC):
 
     def keys(self, packed: np.ndarray) -> np.ndarray:
         """(B, W) uint32 -> (B,) uint64 sort/dedup keys."""
-        packed = np.asarray(packed, dtype=np.uint64)
+        packed = np.asarray(packed)
         if packed.ndim == 1:
             packed = packed[:, None]
         if self.pack_words == 1:
-            return packed[..., 0]
-        return (packed[..., 0] << np.uint64(32)) | packed[..., 1]
+            return packed[..., 0].astype(np.uint64)
+        # (alpha << 32) | beta without uint64 shift ufuncs (no SIMD kernels
+        # in this build): write [beta, alpha] uint32 pairs and reinterpret
+        # as little-endian uint64 — two fast copies and a zero-cost view
+        flat = packed.reshape(-1, packed.shape[-1])
+        kk = np.empty((flat.shape[0], 2), np.uint32)
+        kk[:, 0] = flat[:, 1]        # low word: beta
+        kk[:, 1] = flat[:, 0]        # high word: alpha
+        return kk.view(np.uint64)[:, 0].reshape(packed.shape[:-1])
 
     def unkey(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
@@ -128,15 +135,18 @@ class Hamiltonian(ABC):
 
         conn, elems = self.connections_np(basis)
         ck = self.keys(conn.reshape(-1, conn.shape[-1]))
-        pos = np.clip(np.searchsorted(sorted_keys, ck), 0, B - 1)
+        pos = np.clip(np.searchsorted(sorted_keys, ck), 0, B - 1
+                      ).astype(np.int32)
         hit = sorted_keys[pos] == ck
-        rows = order[pos[hit]]
-        cols = np.repeat(np.arange(B), conn.shape[1])[hit]
+        order32 = order.astype(np.int32)
+        rows = order32[pos[hit]]
+        cols = np.repeat(np.arange(B, dtype=np.int32), conn.shape[1])[hit]
         vals = elems.reshape(-1)[hit]
 
         diag = self.diagonal_np(basis)
-        rows = np.concatenate([rows, np.arange(B)])
-        cols = np.concatenate([cols, np.arange(B)])
+        rng = np.arange(B, dtype=np.int32)
+        rows = np.concatenate([rows, rng])
+        cols = np.concatenate([cols, rng])
         vals = np.concatenate([vals, diag])
         M = sp.coo_matrix((vals, (rows, cols)), shape=(B, B)).tocsr()
         return M

@@ -108,19 +108,50 @@ def parity_between(bits: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray
     return (1 - 2 * par.astype(jnp.int32))
 
 
+# (1 << k) - 1 for k = 0..32, as uint32 (index 32 = all-ones)
+_LOW_MASKS32 = ((np.uint64(1) << np.arange(33, dtype=np.uint64))
+                - np.uint64(1)).astype(np.uint32)
+# 1 << k for k = 0..31
+_POW2_32 = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+
+
 def parity_between_np(bits: np.ndarray, p: np.ndarray, q: np.ndarray
                       ) -> np.ndarray:
-    """NumPy mirror of :func:`parity_between` (vectorized, uint64-safe)."""
-    bits = np.asarray(bits, dtype=np.uint64)
-    lo = np.minimum(p, q).astype(np.uint64)
-    hi = np.maximum(p, q).astype(np.uint64)
-    one = np.uint64(1)
-    mask = ((one << hi) - one) & ~((one << (lo + one)) - one)
-    masked = bits & mask
-    # popcount via bit tricks (numpy lacks popcount pre-2.0 on uint64)
+    """NumPy mirror of :func:`parity_between`.
+
+    Works in uint32 whenever the orbital indices allow it (n_orb <= 31,
+    the supported range): this numpy build's uint64 elementwise loops are
+    ~100x slower than uint32 (no SIMD kernels), which made the host
+    Slater-Condon mirror the FCI-oracle bottleneck.
+    """
+    bits = np.asarray(bits)
+    hi_max = int(max(np.max(p, initial=0), np.max(q, initial=0)))
+    if bits.dtype.itemsize <= 4 and hi_max < 32:
+        bits32 = bits.astype(np.uint32, copy=False)
+        lo = np.minimum(p, q)
+        hi = np.maximum(p, q)
+        # (1<<k)-1 via table gather: the scalar<<array ufunc has no SIMD
+        # kernel in this build (~100x slower than a fancy-index take)
+        mask = _LOW_MASKS32[hi] & ~_LOW_MASKS32[lo + 1]
+        masked = bits32 & mask
+    else:
+        bits64 = bits.astype(np.uint64, copy=False)
+        lo = np.minimum(np.asarray(p, np.int64),
+                        np.asarray(q, np.int64)).astype(np.uint64)
+        hi = np.maximum(np.asarray(p, np.int64),
+                        np.asarray(q, np.int64)).astype(np.uint64)
+        one = np.uint64(1)
+        mask = ((one << hi) - one) & ~((one << (lo + one)) - one)
+        masked = bits64 & mask
+    if hasattr(np, "bitwise_count"):        # numpy >= 2.0: single ufunc
+        count = np.bitwise_count(masked)
+        # int32 output: int64 elementwise arithmetic has no SIMD kernels
+        # in this build (~100x slower)
+        return (1 - 2 * (count & np.uint8(1)).astype(np.int32))
+    # fallback popcount via shift loop (numpy < 2.0 lacks it)
     v = masked
-    count = np.zeros_like(v)
+    count = np.zeros(v.shape, np.int64)
     while np.any(v):
-        count += v & one
-        v = v >> one
-    return (1 - 2 * (count & one).astype(np.int64)).astype(np.int64)
+        count += (v & 1).astype(np.int64)
+        v = v >> 1
+    return (1 - 2 * (count & 1)).astype(np.int64)

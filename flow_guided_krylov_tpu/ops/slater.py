@@ -162,7 +162,8 @@ def _occ_vir_lists_np(bits: np.ndarray, n: int, k: int):
     shifts = np.arange(n, dtype=np.uint32)
     occ = ((bits[:, None] >> shifts) & 1).astype(np.int8)
     order = np.argsort(1 - occ, axis=1, kind="stable")
-    return order[:, :k].astype(np.int64), order[:, k:].astype(np.int64)
+    # int32 indices: int64/uint64 elementwise ops lack SIMD in this build
+    return order[:, :k].astype(np.int32), order[:, k:].astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -270,16 +271,35 @@ def make_connection_fn(tables: SlaterTables):
 # Host connection kernel (NumPy, float64)
 # ---------------------------------------------------------------------------
 
-def connections_batch_np(packed: np.ndarray, tables: SlaterTables
+def connections_batch_np(packed: np.ndarray, tables: SlaterTables,
+                         chunk: int = 2048
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized float64 connections: (B,2) uint32 -> ((B,C,2), (B,C))."""
+    """Vectorized float64 connections: (B,2) uint32 -> ((B,C,2), (B,C)).
+
+    Processed in ``chunk``-row slices into preallocated outputs: large
+    temporaries force glibc into mmap/page-fault churn on every ufunc
+    (measured 10x slowdown at N2 scale on a single-core host), while
+    chunk-sized temporaries stay in the warm arena.
+    """
+    B_total = packed.shape[0]
+    if B_total > chunk:
+        C = tables.n_connections
+        conn_out = np.empty((B_total, C, 2), np.uint32)
+        el_out = np.empty((B_total, C), np.float64)
+        for i in range(0, B_total, chunk):
+            c, e = connections_batch_np(packed[i:i + chunk], tables)
+            conn_out[i:i + len(c)] = c
+            el_out[i:i + len(e)] = e
+        return conn_out, el_out
     n, ka, kb = tables.n_orb, tables.n_alpha, tables.n_beta
     B = packed.shape[0]
-    pa = packed[:, 0].astype(np.uint64)
-    pb = packed[:, 1].astype(np.uint64)
-    shifts = np.arange(n, dtype=np.uint64)
-    occ_a = ((pa[:, None] >> shifts) & 1).astype(np.float64)
-    occ_b = ((pb[:, None] >> shifts) & 1).astype(np.float64)
+    # stay in uint32 end to end (n_orb <= 31): this numpy build's uint64
+    # elementwise kernels are ~100x slower than uint32 (no SIMD loops)
+    pa = packed[:, 0].astype(np.uint32)
+    pb = packed[:, 1].astype(np.uint32)
+    shifts = np.arange(n, dtype=np.uint32)
+    occ_a = ((pa[:, None] >> shifts) & np.uint32(1)).astype(np.float64)
+    occ_b = ((pb[:, None] >> shifts) & np.uint32(1)).astype(np.float64)
     N = occ_a + occ_b
     la, va = _occ_vir_lists_np(packed[:, 0], n, ka)
     lb, vb = _occ_vir_lists_np(packed[:, 1], n, kb)
@@ -292,9 +312,11 @@ def connections_batch_np(packed: np.ndarray, tables: SlaterTables
     h2 = tables.h2
     bidx = np.arange(B)[:, None]
 
+    from .bits import _POW2_32
+
     def flip(bits, p, q):
-        return bits ^ (np.uint64(1) << p.astype(np.uint64)) \
-                    ^ (np.uint64(1) << q.astype(np.uint64))
+        # table gather instead of scalar<<array (no SIMD shift kernel)
+        return bits ^ _POW2_32[p] ^ _POW2_32[q]
 
     out_conn = []
     out_el = []

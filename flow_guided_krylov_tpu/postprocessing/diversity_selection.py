@@ -30,6 +30,8 @@ __all__ = [
 
 def _popcount(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.uint64)
+    if hasattr(np, "bitwise_count"):        # numpy >= 2.0: single ufunc
+        return np.bitwise_count(x).astype(np.int64)
     count = np.zeros(x.shape, dtype=np.int64)
     one = np.uint64(1)
     while np.any(x):
