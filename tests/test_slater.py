@@ -109,3 +109,18 @@ def test_mxu_kernel_matches_v1():
     c2, e2 = make_connection_fn_mxu(tables)(packed)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-6)
+
+
+def test_keys_view_trick_matches_shift_formula():
+    """Hamiltonian.keys builds (alpha<<32)|beta via a little-endian uint32
+    view; must match the arithmetic formula exactly."""
+    import numpy as np
+    from flow_guided_krylov_tpu.hamiltonians import create_h2_hamiltonian
+    h = create_h2_hamiltonian()
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 2**31, (1000, 2)).astype(np.uint32)
+    got = h.keys(packed)
+    want = (packed[:, 0].astype(np.uint64) << np.uint64(32)) \
+        | packed[:, 1].astype(np.uint64)
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, want)
