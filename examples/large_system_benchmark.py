@@ -178,6 +178,9 @@ def run(system: str, preset_name: str = "fast") -> dict:
         res["exact_energy"] = exact
         res["error_mha"] = out["error_mha"]
         res["chemical_accuracy"] = out["chemical_accuracy"]
+    else:
+        res["hf_energy"] = float(h.diagonal_np(h.get_hf_state()[None, :])[0])
+        res["correlation_recovered"] = res["hf_energy"] - out["final_energy"]
     print(json.dumps(res))
     return res
 
