@@ -81,6 +81,15 @@ def _pauli_rotation_pair(re: jnp.ndarray, im: jnp.ndarray,
     cross jit boundaries), and real pairs also skip the complex-mul
     emulation entirely.  (1j)**n_y is static, so the phase arithmetic
     constant-folds at trace time."""
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    xr = _xor_permute(re, x_mask, n_qubits)
+    xi = _xor_permute(im, x_mask, n_qubits)
+    if z_mask == 0 and n_y == 0:
+        # pure-X word (every TFIM off-diagonal term): P psi = psi[k^x],
+        # no sign vector — skips three statevector-sized temporaries
+        # (arange, popcount, sign) per rotation, which is what blew HBM
+        # at 2^26 amplitudes (52 rotations per 2nd-order substep)
+        return ct * re + st * xi, ct * im - st * xr
     dim = 1 << n_qubits
     idx = jnp.arange(dim, dtype=jnp.uint32)
     src = idx ^ jnp.uint32(x_mask)
@@ -89,11 +98,8 @@ def _pauli_rotation_pair(re: jnp.ndarray, im: jnp.ndarray,
     s = 1.0 - 2.0 * par.astype(jnp.float32)
     a = int(((1j) ** n_y).real)
     b = int(((1j) ** n_y).imag)
-    xr = _xor_permute(re, x_mask, n_qubits)
-    xi = _xor_permute(im, x_mask, n_qubits)
     p_re = s * (a * xr - b * xi)
     p_im = s * (a * xi + b * xr)
-    ct, st = jnp.cos(theta), jnp.sin(theta)
     # psi' = ct*psi - i*st*(p_re + i p_im) = (ct*re + st*p_im,
     #                                         ct*im - st*p_re)
     return ct * re + st * p_im, ct * im - st * p_re
