@@ -182,6 +182,11 @@ def _sample_counts_device(key, psi_re, psi_im, shots: int, n: int):
     return jnp.bincount(idx, length=n)
 
 
+# fuse the whole Trotter substep into one XLA program up to this many
+# sites; beyond it, per-rotation dispatch bounds live HBM (see below)
+_TROTTER_FUSE_MAX_SITES = 20
+
+
 def _comb(n: int, k: int) -> int:
     from math import comb
     return comb(n, k)
@@ -350,19 +355,43 @@ class SampleBasedKrylovDiagonalization:
 
         hp_re, hp_im = _half_phase()
 
-        @jax.jit
-        def substep(re, im, hr, hi):
-            def diag_mul(re, im):
+        if n <= _TROTTER_FUSE_MAX_SITES:
+            # one fused XLA program: cheapest dispatch for small vectors
+            @jax.jit
+            def substep(re, im, hr, hi):
+                def diag_mul(re, im):
+                    return re * hr - im * hi, re * hi + im * hr
+
+                re, im = diag_mul(re, im)
+                for c, xm, zm, ny in offd:
+                    re, im = _pauli_rotation_pair(
+                        re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+                for c, xm, zm, ny in reversed(offd):
+                    re, im = _pauli_rotation_pair(
+                        re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+                return diag_mul(re, im)
+        else:
+            # large statevectors: one jit PER rotation.  Fusing the whole
+            # 2nd-order substep keeps every rotation's intermediates live
+            # in XLA's buffer assignment (measured 32.5 GB for TFIM-26's
+            # 52 rotations at 2^26 amplitudes); per-rotation dispatch
+            # bounds live memory at a handful of statevectors and the
+            # dispatch overhead is negligible next to the 268 MB flips
+            from .basis_sampler import _apply_pauli_rotation
+
+            @jax.jit
+            def diag_mul(re, im, hr, hi):
                 return re * hr - im * hi, re * hi + im * hr
 
-            re, im = diag_mul(re, im)
-            for c, xm, zm, ny in offd:
-                re, im = _pauli_rotation_pair(
-                    re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
-            for c, xm, zm, ny in reversed(offd):
-                re, im = _pauli_rotation_pair(
-                    re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
-            return diag_mul(re, im)
+            def substep(re, im, hr, hi):
+                re, im = diag_mul(re, im, hr, hi)
+                for c, xm, zm, ny in offd:
+                    re, im = _apply_pauli_rotation(
+                        re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+                for c, xm, zm, ny in reversed(offd):
+                    re, im = _apply_pauli_rotation(
+                        re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+                return diag_mul(re, im, hr, hi)
 
         self._trotter = (substep, hp_re, hp_im)
         return self._trotter
