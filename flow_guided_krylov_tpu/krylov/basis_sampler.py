@@ -63,7 +63,19 @@ def _xor_permute(psi: jnp.ndarray, x_mask: int, n_qubits: int) -> jnp.ndarray:
     the VPU for large statevectors).  Each set bit gets its own rank-3
     (left, 2, right) reshape + flip rather than one rank-n multi-axis
     flip: TPU XLA rejects tensors beyond rank ~8, and Pauli words touch
-    at most two qubits so the pass count stays small."""
+    at most two qubits so the pass count stays small.
+
+    Bits 0..6 are handled together as a static permutation of the 128
+    lanes of a (dim/128, 128) view: the rank-3 flip for bit q has a
+    trailing dim of 2^q, which TPU tiling pads to 128 lanes — a 128x
+    memory blowup at q=0 (the compile for one TFIM-26 rotation asked for
+    32 GB of HBM before this path existed).
+    """
+    low = x_mask & 0x7F
+    if low and n_qubits >= 7:
+        perm = jnp.asarray(np.arange(128) ^ low, jnp.int32)
+        psi = psi.reshape(-1, 128)[:, perm].reshape(-1)
+        x_mask &= ~0x7F
     for q in range(n_qubits):
         if (x_mask >> q) & 1:
             v = psi.reshape(1 << (n_qubits - 1 - q), 2, 1 << q)
