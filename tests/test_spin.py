@@ -200,3 +200,17 @@ def test_large_sector_ell_evolution():
     for b in out["bases"]:
         assert {bin(int(s)).count("1") for s in b[:, 0]} == {10}
     assert np.isfinite(out["final_energy"])
+
+
+def test_xor_permute_all_mask_classes():
+    """psi[k ^ mask] via lane permutation (bits 0-6) + strided flips
+    (bits 7+) must match direct indexing for every mask class."""
+    from flow_guided_krylov_tpu.krylov.basis_sampler import _xor_permute
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    n = 10
+    dim = 1 << n
+    psi = rng.normal(size=dim).astype(np.float32)
+    for mask in (1, 2, 64, 127, 128, 129, 512 | 3, dim - 1):
+        out = np.asarray(_xor_permute(jnp.asarray(psi), mask, n))
+        assert np.array_equal(out, psi[np.arange(dim) ^ mask]), mask
