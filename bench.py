@@ -47,9 +47,12 @@ def main():
                               n_alpha=7, n_beta=7)
     h = MolecularHamiltonian(ints)
 
-    B = 2048
+    # the whole N2-sized space in one batch — the production shape (the
+    # training fast path enumerates/densifies the full subspace), and
+    # batch amortization is worth ~1.6x over B=2048
     basis = h.enumerate_basis()
-    batch = basis[rng.permutation(len(basis))[:B]]
+    B = len(basis)
+    batch = basis[rng.permutation(B)]
     C = h.n_connections
 
     # device kernels: gather formulation (v1) and one-hot-matmul MXU
