@@ -214,14 +214,48 @@ class MolecularHamiltonian(Hamiltonian):
         vals, vecs = self.exact_ground_state(basis, k=k)
         return vals, vecs, basis
 
+    def _fci_disk_cache_path(self):
+        """Disk-cache location for the FCI oracle energy, keyed by the
+        integral content (same cache dir as the integrals themselves).
+        The oracle is benchmark instrumentation — nothing in the solver
+        reads it — so caching it only removes repeat-run latency."""
+        import hashlib
+        import os
+        from pathlib import Path
+        i = self.integrals
+        hsh = hashlib.sha1()
+        hsh.update(np.ascontiguousarray(i.h1e).tobytes())
+        hsh.update(np.ascontiguousarray(i.h2e).tobytes())
+        hsh.update(np.float64(i.nuclear_repulsion).tobytes())
+        hsh.update(bytes([i.n_alpha, i.n_beta, i.n_orbitals]))
+        root = Path(os.environ.get(
+            "FGK_INTEGRAL_CACHE",
+            Path.home() / ".cache" / "fgk_tpu_integrals"))
+        return root / f"fci_{hsh.hexdigest()}.txt"
+
     def fci_energy(self) -> float:
-        if self._fci_cache is None:
-            vals, vecs, basis = self.exact_full(k=1)
-            self._fci_cache = (float(vals[0]), vecs[:, 0], basis)
+        if self._fci_cache is not None:
+            return self._fci_cache[0]
+        path = self._fci_disk_cache_path()
+        try:
+            return float(path.read_text())
+        except (OSError, ValueError):
+            pass
+        vals, vecs, basis = self.exact_full(k=1)
+        self._fci_cache = (float(vals[0]), vecs[:, 0], basis)
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(repr(self._fci_cache[0]))
+        except OSError:
+            pass
         return self._fci_cache[0]
 
     def fci_state(self) -> Tuple[float, np.ndarray, np.ndarray]:
-        self.fci_energy()
+        if self._fci_cache is None:
+            # the disk cache holds the energy only — the state needs a
+            # real solve
+            vals, vecs, basis = self.exact_full(k=1)
+            self._fci_cache = (float(vals[0]), vecs[:, 0], basis)
         return self._fci_cache
 
     # ------------------------------------------------------------------
