@@ -28,6 +28,27 @@ import numpy as np
 
 from ..hamiltonians.base import Hamiltonian
 
+
+def _sorted_unique(keys: np.ndarray, return_inverse: bool = False):
+    """(unique_keys, first_index, inverse|None) via argsort+searchsorted.
+
+    Avoids ``np.unique``'s int64-heavy internals (cumsum/flatnonzero),
+    which have no SIMD kernels in this build — for the 4M-key PT2
+    candidate pools this is ~6x faster.
+    """
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    flag = np.empty(len(sk), bool)
+    if len(sk):
+        flag[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=flag[1:])
+    uniq = sk[flag]
+    first_idx = order[flag]
+    inverse = None
+    if return_inverse:
+        inverse = np.searchsorted(uniq, keys).astype(np.int32)
+    return uniq, first_idx, inverse
+
 __all__ = ["ResidualExpansionConfig", "SelectedCIExpander",
            "ResidualBasedExpander", "iterative_residual_expansion"]
 
@@ -267,7 +288,7 @@ class SelectedCIExpander:
             keys = self.h.keys(cand_all)
             # K can exceed the true unique-candidate count, in which case
             # top-k returns score=-1 duplicate rows: dedupe by key
-            uniq, first_idx = np.unique(keys, return_index=True)
+            uniq, first_idx, _ = _sorted_unique(keys)
             cand_all = cand_all[first_idx]
             coupling_all = coupling_all[first_idx]
             keys = uniq
@@ -276,8 +297,8 @@ class SelectedCIExpander:
             flat = conn.reshape(-1, conn.shape[-1])
             contrib = (elems * src_c[:, None]).reshape(-1)  # c_j * <i|H|j>
             keys_f = self.h.keys(flat)
-            uniq_keys, first_idx, inverse = np.unique(
-                keys_f, return_index=True, return_inverse=True)
+            uniq_keys, first_idx, inverse = _sorted_unique(
+                keys_f, return_inverse=True)
             coupling_all = np.bincount(inverse, weights=contrib,
                                        minlength=len(uniq_keys))
             cand_all = flat[first_idx]
