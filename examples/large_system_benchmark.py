@@ -158,17 +158,39 @@ def n2_ccpvdz_10o():
     return MolecularHamiltonian(act)
 
 
-def run(system: str, preset_name: str = "fast") -> dict:
+def run_sci(h, exact, max_basis: int = 50_000) -> dict:
+    """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
+    route on these spaces after the round-2 host-kernel rewrite."""
+    from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
+                                               iterative_residual_expansion)
+    cfg = ResidualExpansionConfig(
+        max_iterations=80, configs_per_iteration=600,
+        stagnation_threshold=1e-6, stagnation_patience=3,
+        max_basis_size=min(h.n_valid_configs, max_basis))
+    out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg)
+    e = float(out["energy"])
+    res = {"final_energy": e, "basis_size": int(len(out["basis"]))}
+    if exact is not None:
+        res["error_mha"] = 1000 * (e - exact)
+        res["chemical_accuracy"] = abs(e - exact) < 1.6e-3
+    return res
+
+
+def run(system: str, preset_name: str = "fast", mode: str = "pipeline"
+        ) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
     h = SYSTEMS[system]()
     n_valid = h.n_valid_configs
     exact = h.fci_energy() if n_valid <= 100_000 else None
-    cfg = SystemScaler(n_valid, QualityPreset(preset_name)
-                       ).create_pipeline_config(verbose=False)
-    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=exact)
-    out = pipe.run()
+    if mode == "sci":
+        out = run_sci(h, exact)
+    else:
+        cfg = SystemScaler(n_valid, QualityPreset(preset_name)
+                           ).create_pipeline_config(verbose=False)
+        pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=exact)
+        out = pipe.run()
     res = {
         "system": system, "n_active_orbitals": h.n_orbitals,
         "n_active_electrons": h.n_electrons, "n_valid": n_valid,
@@ -191,8 +213,11 @@ def main():
                    help=f"one of {sorted(SYSTEMS)}")
     p.add_argument("--preset", default="fast",
                    choices=["fast", "balanced", "accurate"])
+    p.add_argument("--mode", default="pipeline",
+                   choices=["pipeline", "sci"],
+                   help="sci = HF-seeded Selected-CI only (no flow)")
     args = p.parse_args()
-    run(args.system, args.preset)
+    run(args.system, args.preset, args.mode)
 
 
 if __name__ == "__main__":
