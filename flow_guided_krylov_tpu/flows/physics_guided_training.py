@@ -457,11 +457,26 @@ class PhysicsGuidedFlowTrainer:
     def temperature_at(self, epoch: int) -> float:
         c = self.config
         progress = min(1.0, epoch / max(1, c.temperature_decay_epochs))
-        return (c.initial_temperature
+        temp = (c.initial_temperature
                 + progress * (c.final_temperature - c.initial_temperature))
+        if epoch < getattr(self, "_reheat_until", 0):
+            # AdaptiveAdjuster flagged an early flow collapse: reheat to
+            # half the initial temperature so sampling re-diversifies
+            temp = max(temp, 0.5 * c.initial_temperature)
+        return temp
 
     def train(self) -> Dict[str, list]:
         c = self.config
+        # runtime heuristics (reference ``system_scaler.py:537-609``): the
+        # adjuster watches unique_ratio/energy trends; its tips drive the
+        # two knobs that are live mid-training — the sampling temperature
+        # (reheat on early collapse) and the convergence exit (defer while
+        # the energy is still falling)
+        from ..utils.system_scaler import AdaptiveAdjuster
+        adjuster = AdaptiveAdjuster()
+        self.history.setdefault("adjuster_tips", [])
+        self._reheat_until = 0
+        conv_deferred = 0
         for epoch in range(c.num_epochs):
             t0 = time.perf_counter()
             temp = jnp.float32(self.temperature_at(epoch))
@@ -508,12 +523,26 @@ class PhysicsGuidedFlowTrainer:
                       f"unique={m['unique_ratio']:.2f} "
                       f"basis={self.history['basis_sizes'][-1]}")
 
+            tips = adjuster.suggest(self.history)
+            if tips:
+                self.history["adjuster_tips"].append((epoch, dict(tips)))
+                if ("convergence_threshold" in tips
+                        and self._reheat_until <= epoch):
+                    self._reheat_until = epoch + 25
+                    if c.verbose:
+                        print(f"  [adjust] flow collapsed early; reheating "
+                              f"temperature for 25 epochs")
+
             if epoch >= c.min_epochs and \
                     m["unique_ratio"] < c.convergence_threshold:
-                if c.verbose:
-                    print(f"  converged at epoch {epoch}: "
-                          f"unique_ratio={m['unique_ratio']:.3f}")
-                break
+                if "max_epochs" in tips and conv_deferred < c.min_epochs // 2:
+                    # energy still improving: defer the exit (bounded)
+                    conv_deferred += 1
+                else:
+                    if c.verbose:
+                        print(f"  converged at epoch {epoch}: "
+                              f"unique_ratio={m['unique_ratio']:.3f}")
+                    break
             # complete-space early exit: once every valid determinant is in
             # the accumulated basis (and fits the cap), further epochs only
             # polish the NQS, whose energy the pipeline does not use

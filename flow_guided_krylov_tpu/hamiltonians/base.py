@@ -10,6 +10,7 @@ molecular alpha/beta, 1 for spin chains), and connection enumeration is
 
 from __future__ import annotations
 
+import sys
 from abc import ABC, abstractmethod
 from typing import Optional, Tuple
 
@@ -18,6 +19,12 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 __all__ = ["Hamiltonian", "PauliString"]
+
+# keys() builds (alpha << 32) | beta by reinterpreting a [beta, alpha]
+# uint32 pair as uint64 — a little-endian layout assumption; make it
+# explicit rather than silently breaking the unkey() round-trip.
+assert sys.byteorder == "little", \
+    "packed-key uint64 views assume a little-endian host"
 
 
 class Hamiltonian(ABC):

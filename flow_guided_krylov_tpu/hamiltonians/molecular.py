@@ -55,6 +55,7 @@ class MolecularHamiltonian(Hamiltonian):
             integrals.n_alpha, integrals.n_beta)
         self._conn_fn = None  # lazily built jitted device kernel
         self._fci_cache: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
+        self._fci_energy_cache: Optional[float] = None  # disk-cache memo
         self._device_table = None
         self._device_table_tried = False
 
@@ -236,9 +237,12 @@ class MolecularHamiltonian(Hamiltonian):
     def fci_energy(self) -> float:
         if self._fci_cache is not None:
             return self._fci_cache[0]
+        if self._fci_energy_cache is not None:
+            return self._fci_energy_cache
         path = self._fci_disk_cache_path()
         try:
-            return float(path.read_text())
+            self._fci_energy_cache = float(path.read_text())
+            return self._fci_energy_cache
         except (OSError, ValueError):
             pass
         vals, vecs, basis = self.exact_full(k=1)

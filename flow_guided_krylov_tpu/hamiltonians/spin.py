@@ -52,6 +52,19 @@ class HeisenbergHamiltonian(_SpinBase):
                  h_z: Optional[np.ndarray] = None, periodic: bool = False):
         if num_spins > 31:
             raise NotImplementedError("packed uint32 supports <= 31 spins")
+        # The connection kernels implement the XXZ flip-flop (Jx+Jy)/4 on
+        # antiparallel bonds; anisotropic-XY (Jx != Jy) adds parallel-bond
+        # (XX-YY)/4 flips and an h_y field adds Y single-spin terms, neither
+        # of which the kernels (or diagonal) carry.  Gate them here so the
+        # matrix-element, Trotter and sector paths can never silently use
+        # different Hamiltonians.
+        if abs(Jx - Jy) > 1e-12:
+            raise NotImplementedError(
+                "anisotropic XY (Jx != Jy) is not supported: the connection "
+                "kernels only implement the (Jx+Jy)/4 flip-flop terms")
+        if h_y is not None and np.any(np.abs(np.asarray(h_y, float)) > 1e-12):
+            raise NotImplementedError(
+                "h_y fields are not supported by the connection kernels")
         self.n_sites = num_spins
         self.num_sites = num_spins
         self.Jx, self.Jy, self.Jz = Jx, Jy, Jz

@@ -173,7 +173,10 @@ def _sample_idx_cdf(key, prob, shots: int):
     statevectors and 100k-shot budgets."""
     cdf = jnp.cumsum(prob)
     u = jax.random.uniform(key, (shots,)) * cdf[-1]
-    return jnp.searchsorted(cdf, u)
+    # side='right' so a draw landing exactly on a cdf plateau boundary
+    # (e.g. u == 0.0) can never select a zero-probability index
+    return jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                    0, prob.shape[0] - 1)
 
 
 @partial(jax.jit, static_argnames=("shots", "n"))

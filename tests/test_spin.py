@@ -214,3 +214,23 @@ def test_xor_permute_all_mask_classes():
     for mask in (1, 2, 64, 127, 128, 129, 512 | 3, dim - 1):
         out = np.asarray(_xor_permute(jnp.asarray(psi), mask, n))
         assert np.array_equal(out, psi[np.arange(dim) ^ mask]), mask
+
+
+def test_unsupported_spin_terms_raise():
+    """Anisotropic XY and h_y fields diverge from the connection kernels
+    (ADVICE round 2): they must be rejected at construction."""
+    with pytest.raises(NotImplementedError):
+        HeisenbergHamiltonian(4, Jx=1.0, Jy=0.5, Jz=1.0)
+    with pytest.raises(NotImplementedError):
+        HeisenbergHamiltonian(4, h_y=0.3 * np.ones(4))
+
+
+def test_sample_idx_cdf_skips_zero_probability_plateaus():
+    """side='right' searchsorted: zero-probability entries (cdf plateaus)
+    must never be selected, even for draws landing exactly on a boundary."""
+    import jax
+    import jax.numpy as jnp
+    from flow_guided_krylov_tpu.krylov.skqd import _sample_idx_cdf
+    prob = jnp.asarray([0.0, 0.5, 0.0, 0.5, 0.0], jnp.float32)
+    idx = np.asarray(_sample_idx_cdf(jax.random.PRNGKey(0), prob, 4096))
+    assert set(np.unique(idx)) <= {1, 3}
