@@ -25,7 +25,7 @@ ATOMIC_NUMBER: Dict[str, int] = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5,
     "C": 6, "N": 7, "O": 8, "F": 9, "Ne": 10,
     "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
-    "S": 16, "Cl": 17, "Ar": 18, "Fe": 26,
+    "S": 16, "Cl": 17, "Ar": 18, "Cr": 24, "Fe": 26,
 }
 
 # Universal STO-3G primitive fits for Slater exponent zeta = 1.

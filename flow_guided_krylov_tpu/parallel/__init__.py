@@ -10,7 +10,11 @@ from .mesh import make_mesh, data_sharding, replicated, P, NamedSharding
 from .sharded_matvec import (shard_hamiltonian_rows, sharded_matvec_fn,
                              sharded_lanczos_expm,
                              sharded_lanczos_ground_state)
+from .sharded_trotter import (make_sharded_substep,
+                              mesh_supports_statevector, shard_statevector)
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "P", "NamedSharding",
            "shard_hamiltonian_rows", "sharded_matvec_fn",
-           "sharded_lanczos_expm", "sharded_lanczos_ground_state"]
+           "sharded_lanczos_expm", "sharded_lanczos_ground_state",
+           "make_sharded_substep", "mesh_supports_statevector",
+           "shard_statevector"]

@@ -150,7 +150,7 @@ class PipelineConfig:
             self.nqs_hidden_dims = [512] * 5
             self.max_epochs = max(self.max_epochs, 600)
             self.samples_per_batch = 4000
-        else:
+        elif n_valid_configs <= 500_000:
             tier = "very_large"
             self.max_accumulated_basis = 16384
             self.max_diverse_configs = min(n_valid_configs, 12288)
@@ -162,6 +162,26 @@ class PipelineConfig:
             self.max_epochs = max(self.max_epochs, 800)
             self.min_epochs = max(self.min_epochs, 200)
             self.samples_per_batch = 6000
+        else:
+            # million-config spaces: stage 3 is the engine (the flow basis
+            # covers a vanishing fraction), so the expansion budget must be
+            # deep enough not to stop while still descending ~mHa/round
+            # (Heisenberg-24 pipeline, VERDICT round 2 item 1), and stage-4
+            # sampling needs full-size shot budgets to add anything beyond
+            # a 30k+ determinant basis
+            tier = "huge"
+            self.max_accumulated_basis = 32768
+            self.max_diverse_configs = min(n_valid_configs, 16384)
+            self.residual_iterations = 30
+            self.residual_configs_per_iter = 2000
+            self.residual_threshold = 1e-8
+            self.nqs_hidden_dims = [512] * 6
+            self.nf_hidden_dims = [384, 384]
+            self.max_epochs = max(self.max_epochs, 800)
+            self.min_epochs = max(self.min_epochs, 200)
+            self.samples_per_batch = 6000
+            self.max_krylov_dim = max(self.max_krylov_dim, 10)
+            self.shots_per_krylov = max(self.shots_per_krylov, 100_000)
         if self.verbose:
             print(f"System size: {n_valid_configs:,} valid configs -> "
                   f"{tier} tier "
@@ -477,7 +497,7 @@ class FlowGuidedKrylovPipeline:
                                len(self.nf_basis)
                                + c.residual_iterations
                                * c.residual_configs_per_iter))
-        expander = SelectedCIExpander(self.h, rcfg)
+        expander = SelectedCIExpander(self.h, rcfg, mesh=self.mesh)
 
         basis = self.nf_basis
         best_energy = np.inf
@@ -521,6 +541,20 @@ class FlowGuidedKrylovPipeline:
     # Stage 4
     # ------------------------------------------------------------------
 
+    def _supported_evolution_dim(self) -> int:
+        from .krylov.skqd import supported_evolution_dim
+        return supported_evolution_dim(self.h, self.mesh)
+
+    def _statevector_sites_cap(self) -> int:
+        cap = _statevector_sites_cap()
+        if self.mesh is not None:
+            import math
+            from .parallel.sharded_trotter import mesh_supports_statevector
+            extra = int(math.log2(self.mesh.size))
+            if extra and mesh_supports_statevector(self.mesh, cap + extra):
+                cap += extra
+        return cap
+
     def run_skqd(self) -> Dict:
         c = self.config
         if c.verbose:
@@ -535,19 +569,20 @@ class FlowGuidedKrylovPipeline:
             skip_reason = "config.skip_skqd"
         elif c.max_krylov_dim <= 0:
             skip_reason = "max_krylov_dim <= 0"
-        elif self.is_molecular and self.n_valid > 200_000 * (
-                self.mesh.size if self.mesh is not None else 1):
-            # subspace time evolution materializes the full particle-
-            # conserving space; beyond ~200k determinants per device that
-            # is neither enumerable on device nor sparse-assemblable on
-            # host (a mesh shards the state/propagator, raising the cap)
+        elif self.is_molecular and self.n_valid > max(
+                200_000, self._supported_evolution_dim()):
+            # the cap derives from what the routed propagator actually
+            # supports (dense MXU rows or the mesh-sharded ELL table), with
+            # the host-scipy f64 path good to ~200k determinants
             skip_reason = (f"subspace too large for SKQD evolution "
-                           f"({self.n_valid:,} configs)")
+                           f"({self.n_valid:,} configs, propagator cap "
+                           f"{self._supported_evolution_dim():,})")
         elif not self.is_molecular and self.h.n_sites > \
-                _statevector_sites_cap():
+                self._statevector_sites_cap():
             # spin systems beyond the subspace cap evolve a full 2^n
             # statevector with Trotterized Pauli rotations (SKQD routes
-            # there automatically); the ceiling is HBM-derived
+            # there automatically); the ceiling is HBM-derived, and a mesh
+            # that can shard the statevector adds log2(n_devices) sites
             skip_reason = (f"statevector too large for Trotter SKQD "
                            f"(2^{self.h.n_sites} amplitudes)")
         elif (self.exact_energy is not None and residual_energy is not None

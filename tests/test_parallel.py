@@ -206,3 +206,83 @@ def test_restore_trainer_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert dst._acc_keys is not None
     np.testing.assert_array_equal(dst._acc_keys, src._acc_keys)
+
+
+def test_sharded_ell_evolution_matches_scipy():
+    """Mesh-sharded ELL propagator (rows over all devices, replicated psi)
+    == the f64 scipy propagator on a conserved Heisenberg sector."""
+    from flow_guided_krylov_tpu.hamiltonians import HeisenbergHamiltonian
+    from flow_guided_krylov_tpu.krylov import (
+        SampleBasedKrylovDiagonalization, SKQDConfig)
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = HeisenbergHamiltonian(12, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 11))
+    neel = sum(1 << i for i in range(0, 12, 2))
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(evolution="ell"), mesh=mesh,
+        initial_state=np.array([neel], np.uint32))
+    assert skqd.dim == 924                         # C(12,6), pads to 928
+    psi = np.zeros(skqd.dim, np.complex128)
+    psi[skqd._index_of(skqd.initial_state)[0]] = 1.0
+    out = skqd.evolve(psi)
+    ref = skqd._evolve_scipy(psi)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-5
+    # the sharded structure really is padded + row-sharded
+    assert getattr(skqd, "_ell_pad", 0) == (-924) % 8
+
+
+def test_sharded_trotter_matches_single_device():
+    """Mesh-sharded statevector Trotter substep (ppermute block exchanges
+    for high-bit flips) == the single-device substep, TFIM-10."""
+    from flow_guided_krylov_tpu.hamiltonians import TransverseFieldIsing
+    from flow_guided_krylov_tpu.krylov import (
+        SampleBasedKrylovDiagonalization, SKQDConfig)
+    from flow_guided_krylov_tpu.parallel import (make_mesh,
+                                                 mesh_supports_statevector)
+
+    h = TransverseFieldIsing(10, V=1.0, h=0.5, periodic=True)
+    init = np.array([0], np.uint32)
+    cfg = SKQDConfig(evolution="trotter", num_trotter_steps=4,
+                     time_step=0.1)
+
+    single = SampleBasedKrylovDiagonalization(h, cfg, initial_state=init)
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    assert mesh_supports_statevector(mesh, 10)
+    sharded = SampleBasedKrylovDiagonalization(h, cfg, initial_state=init,
+                                               mesh=mesh)
+    assert single.use_trotter and sharded.use_trotter
+
+    re0 = jnp.zeros(1 << 10, jnp.float32).at[0].set(1.0)
+    im0 = jnp.zeros(1 << 10, jnp.float32)
+    r1, i1 = single._evolve_trotter(re0, im0)
+    from flow_guided_krylov_tpu.parallel import shard_statevector
+    re_s, im_s = shard_statevector(mesh, re0, im0)
+    r2, i2 = sharded._evolve_trotter(re_s, im_s)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(i1), atol=2e-6)
+
+
+def test_sharded_trotter_skqd_run():
+    """End-to-end sharded-Trotter SKQD reaches the same physics as the
+    single-device run (same seed -> same samples up to float noise)."""
+    from flow_guided_krylov_tpu.hamiltonians import TransverseFieldIsing
+    from flow_guided_krylov_tpu.krylov import (
+        SampleBasedKrylovDiagonalization, SKQDConfig)
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = TransverseFieldIsing(10, V=1.0, h=0.5, periodic=True)
+    init = np.array([0], np.uint32)
+    cfg = SKQDConfig(evolution="trotter", max_krylov_dim=6,
+                     shots_per_krylov=20_000, seed=7)
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    e1 = SampleBasedKrylovDiagonalization(
+        h, cfg, initial_state=init).run()["final_energy"]
+    e2 = SampleBasedKrylovDiagonalization(
+        h, cfg, initial_state=init, mesh=mesh).run()["final_energy"]
+    # float-order differences in the sharded cumsum move a handful of
+    # shots across CDF boundaries, so bases differ by a few configs; the
+    # projected energies must still agree to sub-mHa
+    assert e2 == pytest.approx(e1, abs=5e-4)

@@ -101,3 +101,48 @@ def test_iterative_expansion_reaches_fci(lih):
         use_pt2=True)
     assert out["energy"] <= out["energies"][0] + 1e-12
     assert out["energy"] - exact < 2e-3
+
+
+def test_sharded_pt2_scoring_matches_single_device(lih):
+    """Mesh-sharded PT2 candidate scoring (shard_map over source rows,
+    host summing merge) == the single-device device path, exactly in
+    candidate set and to f32 tolerance in scores."""
+    import jax
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = lih
+    basis = _seed_basis(h, 60)
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    e0, coeffs = float(vals[0]), vecs[:, 0]
+
+    single = SelectedCIExpander(h, use_device_scoring=True)
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    sharded = SelectedCIExpander(h, use_device_scoring=True, mesh=mesh)
+
+    cand_s, scores_s = single._pt2_candidates(basis, coeffs, e0)
+    cand_m, scores_m = sharded._pt2_candidates(basis, coeffs, e0)
+
+    ks, km = h.keys(cand_s), h.keys(cand_m)
+    m_s = dict(zip(ks.tolist(), scores_s.tolist()))
+    m_m = dict(zip(km.tolist(), scores_m.tolist()))
+    sig = {k for k, s in m_s.items() if s > 1e-10}
+    assert sig.issubset(set(m_m))
+    for k in sig:
+        assert m_m[k] == pytest.approx(m_s[k], rel=5e-3, abs=1e-9)
+
+
+def test_sharded_pt2_expansion_reaches_fci(lih):
+    """End-to-end sharded iterative expansion lands on FCI like the
+    single-device run (N2-class workload scaled to LiH for CI)."""
+    import jax
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = lih
+    exact = h.fci_energy()
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    out = iterative_residual_expansion(
+        h, _seed_basis(h, 20),
+        ResidualExpansionConfig(configs_per_iteration=40,
+                                max_iterations=8, max_basis_size=225),
+        use_pt2=True, mesh=mesh)
+    assert out["energy"] - exact < 2e-3
