@@ -126,9 +126,23 @@ def fe_porphyrin_model():
 
 @register("cr2")
 def cr2():
-    raise NotImplementedError(
-        "Cr2 needs a transition-metal cc-pVDZ (12e,12o 3d-3d space); no "
-        "published Cr cc-pVDZ data is available in-repo; gated")
+    """Cr2 (12e, 12o) — the formal sextuple bond, 3d+4s active space
+    (reference ``large_system_benchmark.py:196-252``; C(12,6)^2 = 853,776
+    configs).  The reference runs cc-pVDZ through PySCF; no published
+    3d-metal cc-pVDZ tables exist in-repo, so this uses the in-repo
+    variationally-fitted Cr STO-3G (``chem/basis.py``, validated against
+    the published HF limit via tools/hf_limit_check.py).  The strong
+    multi-reference character of the 3d-3d space — the point of the
+    benchmark — is present either way."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ints = compute_molecular_integrals(
+        [("Cr", (0.0, 0.0, 0.0)), ("Cr", (0.0, 0.0, 1.68))])
+    # 48 electrons; (12e, 12o) freezes the lowest 18 MOs (Ar-core pairs)
+    act = compute_active_space_integrals(ints, n_frozen=18, n_active=12)
+    return MolecularHamiltonian(act)
 
 
 @register("n2_ccpvdz")

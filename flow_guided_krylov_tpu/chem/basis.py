@@ -54,11 +54,17 @@ _STO3G_4SP_EXP = np.array([0.24645600, 0.09095845, 0.04016816])
 _STO3G_4S_COEF = np.array([-0.30884819, 0.01961578, 1.13102933])
 _STO3G_4P_COEF = np.array([-0.12154792, 0.57152663, 0.54989234])
 
-# Fe: (zeta_1s, zeta_2sp, zeta_3sp, zeta_3d, zeta_4sp).  No published Fe
-# STO-3G table is available in-repo; the core/3d exponents are optimized
-# variationally for Fe2+ (d^6, the oxidation state of the Fe-porphyrin
-# model, tools/fit_sto3g.py procedure) and 4sp uses the Slater-rule value.
+# Transition metals: (zeta_1s, zeta_2sp, zeta_3sp, zeta_3d, zeta_4sp).
+# No published 3d-metal STO-3G tables are available in-repo; the zetas are
+# variational optima of the in-repo atomic ROHF (tools/fit_tm_zeta.py) —
+# Fe for Fe2+ (d^6, the Fe-porphyrin oxidation state; 4sp from Slater
+# rules), Cr for the neutral 7S atom (3d^5 4s^1, E_ROHF = -1032.5643 Ha).
+# The integral engine + ROHF are themselves validated against published
+# HF-limit energies via an even-tempered basis (tools/hf_limit_check.py,
+# tests/test_chem.py), so these minimal-basis energies sit a documented
+# distance above literature values.
 _STO3G_ZETA_TM: Dict[str, Tuple[float, float, float, float, float]] = {
+    "Cr": (23.5160, 9.6969, 3.9547, 3.4039, 1.2591),
     "Fe": (25.4984, 10.6556, 4.3201, 3.7146, 1.36),
 }
 

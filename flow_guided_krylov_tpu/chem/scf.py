@@ -324,7 +324,7 @@ def compute_molecular_integrals(
     else:
         # transition-metal systems start far from Aufbau under the core
         # guess; level shifting keeps the occupation from flipping
-        shift = 1.0 if any(el == "Fe" for el, _ in geometry) else 0.0
+        shift = 1.0 if any(el in ("Fe", "Cr") for el, _ in geometry) else 0.0
         e_hf, C, eps = run_rohf(S, Hcore, eri, n_alpha, n_beta, e_nuc,
                                 level_shift=shift)
     h1, h2 = _transform_to_mo(Hcore, eri, C)
