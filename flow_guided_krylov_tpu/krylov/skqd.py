@@ -405,8 +405,37 @@ class SampleBasedKrylovDiagonalization:
             # in XLA's buffer assignment (measured 32.5 GB for TFIM-26's
             # 52 rotations at 2^26 amplitudes); per-rotation dispatch
             # bounds live memory at a handful of statevectors and the
-            # dispatch overhead is negligible next to the 268 MB flips
+            # dispatch overhead is negligible next to the 268 MB flips.
+            #
+            # On TPU, every rotation whose x_mask fits one VMEM tile is
+            # fused into a single Pallas sweep pass (ops/pallas_trotter):
+            # a symmetric splitting is 2nd-order under ANY term ordering,
+            # so the low-bit words are hoisted to the outside —
+            # sweep(fwd) . high(fwd) . high(rev) . sweep(rev).
             from .basis_sampler import _apply_pauli_rotation
+            from ..ops.pallas_trotter import make_x_sweep, sweep_supported
+
+            sweep_f = sweep_r = None
+            low: list = []
+            high = list(offd)
+            if sweep_supported(n):
+                block_elems = 512 * 128
+                cand_low = [(c * dt_sub / 2, xm, zm, ny)
+                            for c, xm, zm, ny in offd
+                            if 0 < xm < block_elems]
+                if cand_low:
+                    try:
+                        f = make_x_sweep(n, cand_low)
+                        r = make_x_sweep(n, cand_low, reverse=True)
+                        if f is not None and r is not None:
+                            probe = f(jnp.zeros(self.dim, jnp.float32),
+                                      jnp.zeros(self.dim, jnp.float32))
+                            jax.block_until_ready(probe)
+                            sweep_f, sweep_r = f, r
+                            low_masks = {xm for _, xm, _, _ in cand_low}
+                            high = [w for w in offd if w[1] not in low_masks]
+                    except Exception:
+                        sweep_f = sweep_r = None
 
             @jax.jit
             def diag_mul(re, im, hr, hi):
@@ -414,12 +443,16 @@ class SampleBasedKrylovDiagonalization:
 
             def substep(re, im, hr, hi):
                 re, im = diag_mul(re, im, hr, hi)
-                for c, xm, zm, ny in offd:
+                if sweep_f is not None:
+                    re, im = sweep_f(re, im)
+                for c, xm, zm, ny in high:
                     re, im = _apply_pauli_rotation(
                         re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
-                for c, xm, zm, ny in reversed(offd):
+                for c, xm, zm, ny in reversed(high):
                     re, im = _apply_pauli_rotation(
                         re, im, jnp.float32(c * dt_sub / 2), xm, zm, ny, n)
+                if sweep_r is not None:
+                    re, im = sweep_r(re, im)
                 return diag_mul(re, im, hr, hi)
 
         self._trotter = (substep, hp_re, hp_im)
