@@ -215,3 +215,14 @@ def test_ar_zeta_extrapolation_near_variational_optimum(tmp_path):
     finally:
         B._STO3G_ZETA_ROW2["Ar"] = (z1, z2, z3)
     assert energies[0.0] - min(energies.values()) < 2e-3
+
+
+def test_fe2plus_atomic_rohf_fitted_value(tmp_path):
+    """Fe2+ (d^6) atomic ROHF reproduces the variational fit that defines
+    the in-repo Fe STO-3G row (regression pin; the engine itself is
+    validated against the published Fe HF limit, docs/CHEMISTRY.md)."""
+    ints = compute_molecular_integrals([("Fe", (0, 0, 0))], charge=2,
+                                       spin=4, cache_dir=str(tmp_path))
+    assert ints.hf_energy == pytest.approx(-1248.233981, abs=2e-4)
+    # published Fe HF limit (-1262.4437) bounds it from below
+    assert ints.hf_energy > -1262.4437
