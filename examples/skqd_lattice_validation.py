@@ -97,15 +97,16 @@ def make_hamiltonian(model: str, n_spins: int, h_field: float):
 # ---------------------------------------------------------------------------
 
 def run_pure_skqd(ham, init, krylov_dim: int, shots: int, seed: int = 0,
-                  evolution: str = "auto", lanczos_dim: int = 30) -> dict:
+                  evolution: str = "auto", lanczos_dim: int = 30,
+                  time_step: float = 0.1, final_only: bool = False) -> dict:
     from flow_guided_krylov_tpu.krylov import (
         SKQDConfig, SampleBasedKrylovDiagonalization)
     skqd = SampleBasedKrylovDiagonalization(
         ham, SKQDConfig(max_krylov_dim=krylov_dim, shots_per_krylov=shots,
-                        time_step=0.1, seed=seed, evolution=evolution,
+                        time_step=time_step, seed=seed, evolution=evolution,
                         lanczos_dim=lanczos_dim),
         initial_state=init)
-    out = skqd.run()
+    out = skqd.run(final_only=final_only)
     return {"energy": out["final_energy"],
             "basis": out["bases"][-1],
             "basis_size": out["basis_sizes"][-1],
@@ -359,6 +360,40 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
     return res
 
 
+def run_large_convergence_study(n_spins: int, h_field: float,
+                                points=None) -> list:
+    """Convergence study at the large-spin frontier (VERDICT round 2
+    item 6): scan Krylov dimension / shots / Trotter dt and record the
+    error trend against the free-fermion oracle instead of one point."""
+    ham, init = make_hamiltonian("tfim", n_spins, h_field)
+    e_exact = exact_oracle(ham)
+    if points is None:
+        points = [(12, 100_000, 0.1), (16, 100_000, 0.1),
+                  (16, 300_000, 0.1), (20, 300_000, 0.1),
+                  (16, 300_000, 0.05)]
+    rows = []
+    for k, shots, dt in points:
+        t0 = time.time()
+        pure = run_pure_skqd(ham, init, k, shots, time_step=dt,
+                             final_only=True)
+        row = {"n_spins": n_spins, "h": h_field, "krylov_dim": k,
+               "shots": shots, "dt": dt,
+               "basis_size": pure["basis_size"],
+               "energy": pure["energy"],
+               "error_mha": 1000 * (pure["energy"] - e_exact),
+               "wall_s": round(time.time() - t0, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(f"\nTFIM-{n_spins} h={h_field} (exact {e_exact:.6f}):")
+    print(f"{'k':>4}{'shots':>9}{'dt':>7}{'basis':>10}{'err (mHa)':>12}"
+          f"{'wall (s)':>10}")
+    for r in rows:
+        print(f"{r['krylov_dim']:>4}{r['shots']:>9}{r['dt']:>7}"
+              f"{r['basis_size']:>10}{r['error_mha']:>12.3f}"
+              f"{r['wall_s']:>10.1f}")
+    return rows
+
+
 # ---------------------------------------------------------------------------
 
 def main():
@@ -380,6 +415,10 @@ def main():
     p.add_argument("--pipeline", action="store_true",
                    help="with --system large: run the FULL 4-stage "
                         "pipeline instead of pure SKQD")
+    p.add_argument("--study", action="store_true",
+                   help="with --system large: TFIM convergence study over "
+                        "(krylov dim, shots, dt) against the free-fermion "
+                        "oracle")
     # back-compat with the round-1 CLI
     p.add_argument("--model", dest="system_alias", default=None,
                    choices=["tfim", "heisenberg"])
@@ -406,7 +445,9 @@ def main():
         run_discovery_comparison(args.spins, args.h, args.krylov_dim,
                                  args.shots, args.epochs)
     if system == "large":
-        if args.pipeline:
+        if args.study:
+            run_large_convergence_study(args.spins, args.h)
+        elif args.pipeline:
             run_large_spin_pipeline(args.system_alias or "heisenberg",
                                     args.spins, args.h, args.krylov_dim,
                                     args.shots, args.epochs)

@@ -559,6 +559,39 @@ class SampleBasedKrylovDiagonalization:
                      jax.device_put(tgt, rows2))
         self._ell_pad = pad
 
+    def _build_ell_device(self, states: np.ndarray):
+        """Build a basis-restricted ELL table ON DEVICE for (B, 1) packed
+        spin states: only the packed states (4 B/state) cross the host
+        link; connections, membership (searchsorted over the sorted uint32
+        states) and elements are computed in jitted chunks.  A 2.7M-state
+        Heisenberg-24 sector table is ~500 MB of HBM but only ~11 MB of
+        transfer.  Works for any state set (the full conserved sector or a
+        sampled Krylov basis)."""
+        dim = len(states)
+        sorted_states = jnp.asarray(np.sort(states[:, 0]))   # uint32 keys
+        order = jnp.asarray(np.argsort(states[:, 0]).astype(np.int32))
+        conn_fn = self.h.connections_device
+        diag_fn = self.h.diagonal_device
+
+        @jax.jit
+        def build_chunk(packed2):
+            conn, elems = conn_fn(packed2)          # (M,C,1),(M,C)
+            keys = conn[..., 0].reshape(-1)
+            pos = jnp.clip(jnp.searchsorted(sorted_states, keys),
+                           0, dim - 1)
+            hit = sorted_states[pos] == keys
+            tgt = jnp.where(hit, order[pos], 0).astype(jnp.int32)
+            el = jnp.where(hit.reshape(elems.shape), elems, 0.0)
+            return (diag_fn(packed2).astype(jnp.float32),
+                    el.astype(jnp.float32),
+                    tgt.reshape(elems.shape))
+
+        chunk = 262_144
+        parts = [build_chunk(jnp.asarray(states[i:i + chunk]))
+                 for i in range(0, dim, chunk)]
+        return tuple(jnp.concatenate([p[j] for p in parts])
+                     for j in range(3))
+
     def _ell_structure(self):
         """ELL (diag, elems, target_idx) for the fixed-degree subspace
         matvec; rows mesh-sharded when a mesh is configured."""
@@ -571,38 +604,7 @@ class SampleBasedKrylovDiagonalization:
                 self._ell = (t.diag, t.elems, t.target_idx)
             elif (getattr(self.h, "pack_words", 1) == 1
                   and hasattr(self.h, "connections_device")):
-                # build the table ON DEVICE: only the packed subspace
-                # (4 B/state) crosses the host link; connections, sector
-                # membership (searchsorted over the sorted uint32 states)
-                # and elements are computed in jitted chunks.  A 2.7M-state
-                # Heisenberg-24 sector table is ~500 MB of HBM but only
-                # ~11 MB of transfer.
-                dim = self.dim
-                sorted_states = jnp.asarray(
-                    np.sort(self.subspace[:, 0]))           # uint32 keys
-                order = jnp.asarray(
-                    np.argsort(self.subspace[:, 0]).astype(np.int32))
-                conn_fn = self.h.connections_device
-                diag_fn = self.h.diagonal_device
-
-                @jax.jit
-                def build_chunk(packed2):
-                    conn, elems = conn_fn(packed2)          # (M,C,1),(M,C)
-                    keys = conn[..., 0].reshape(-1)
-                    pos = jnp.clip(jnp.searchsorted(sorted_states, keys),
-                                   0, dim - 1)
-                    hit = sorted_states[pos] == keys
-                    tgt = jnp.where(hit, order[pos], 0).astype(jnp.int32)
-                    el = jnp.where(hit.reshape(elems.shape), elems, 0.0)
-                    return (diag_fn(packed2).astype(jnp.float32),
-                            el.astype(jnp.float32),
-                            tgt.reshape(elems.shape))
-
-                chunk = 262_144
-                parts = [build_chunk(jnp.asarray(self.subspace[i:i + chunk]))
-                         for i in range(0, dim, chunk)]
-                self._ell = tuple(jnp.concatenate([p[j] for p in parts])
-                                  for j in range(3))
+                self._ell = self._build_ell_device(self.subspace)
             else:
                 conn, elems = self.h.connections_np(self.subspace)
                 keys = self.h.keys(conn.reshape(-1, conn.shape[-1]))
@@ -759,11 +761,28 @@ class SampleBasedKrylovDiagonalization:
         reg = self.config.regularization
 
         if nb > 2048:
+            v0 = None
+            if (nb > 200_000 and not self.is_molecular
+                    and getattr(self.h, "pack_words", 1) == 1
+                    and hasattr(self.h, "connections_device")):
+                # half-million-state sampled bases: a device f32 ELL
+                # Lanczos gets the ground vector to ~1e-4, and seeding
+                # ARPACK with it cuts the host f64 solve from hundreds of
+                # 10M+-nonzero matvecs to a handful of restarts
+                try:
+                    from ..postprocessing.eigensolver import \
+                        lanczos_ground_state_ell
+                    ell = self._build_ell_device(basis)
+                    _, v = lanczos_ground_state_ell(*ell, m=min(80, nb))
+                    v0 = np.asarray(v, np.float64)
+                    del ell
+                except Exception:
+                    v0 = None
             M = self.h.to_sparse(basis)
             M = (M + M.T) * 0.5 + reg * sp.eye(nb)
             k = min(self.config.num_eigenvalues, nb - 1)
             try:
-                vals, vecs = spla.eigsh(M, k=max(k, 1), which="SA")
+                vals, vecs = spla.eigsh(M, k=max(k, 1), which="SA", v0=v0)
             except spla.ArpackNoConvergence:
                 H = M.toarray()
                 vals, vecs = np.linalg.eigh(H)
@@ -823,12 +842,19 @@ class SampleBasedKrylovDiagonalization:
                           return_eigenvectors=False)
         return float(vals.min())
 
-    def run(self) -> Dict:
+    def run(self, final_only: bool = False) -> Dict:
         """Energies vs Krylov dimension on cumulative bases
-        (reference ``skqd.py:845-888``)."""
+        (reference ``skqd.py:845-888``).  ``final_only`` skips the
+        intermediate cumulative eigensolves — at 500k+-state bases each
+        one costs minutes of host ARPACK, and convergence studies only
+        need the last."""
         samples = self.generate_krylov_samples()
         bases = self.build_cumulative_basis(samples)
-        energies = [self.compute_ground_state_energy(b) for b in bases]
+        if final_only:
+            energies = [np.nan] * (len(bases) - 1) + [
+                self.compute_ground_state_energy(bases[-1])]
+        else:
+            energies = [self.compute_ground_state_energy(b) for b in bases]
         return {
             "energies": energies,
             "basis_sizes": [len(b) for b in bases],
