@@ -8,10 +8,10 @@ frozen-core active-space pipelines (core J/K folding implemented in
 (pi space, ``:253-316``), an Fe-porphyrin model (``:320-378``) and
 N2/cc-pVDZ (``:381-427``).
 
-Cr2 stays gated: its (12e,12o) 3d-3d space needs a transition-metal
-cc-pVDZ, and no published Cr cc-pVDZ data is available in-repo (the
-self-contained tables cover H-Ar STO-3G, first-row 6-31G/6-31G*, and
-H/C/N/O/F cc-pVDZ with spherical d).
+Cr2 (12e,12o) runs on the in-repo variationally-fitted Cr STO-3G
+(anchored +58.8 mHa from the published Cr ROHF limit by
+tools/hf_limit_check.py); the self-contained tables otherwise cover
+H-Ar STO-3G, first-row 6-31G/6-31G*, and H/C/N/O/F cc-pVDZ.
 
 Usage: python examples/large_system_benchmark.py --system n2_frozen
 """

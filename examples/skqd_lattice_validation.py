@@ -34,6 +34,12 @@ import time
 
 import numpy as np
 
+try:
+    from flow_guided_krylov_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 
 # ---------------------------------------------------------------------------
 # Oracles
@@ -419,6 +425,9 @@ def main():
                    help="with --system large: TFIM convergence study over "
                         "(krylov dim, shots, dt) against the free-fermion "
                         "oracle")
+    p.add_argument("--study-points", default=None,
+                   help="override study grid: 'k,shots,dt;k,shots,dt;...' "
+                        "(e.g. '12,100000,0.1;16,300000,0.05')")
     # back-compat with the round-1 CLI
     p.add_argument("--model", dest="system_alias", default=None,
                    choices=["tfim", "heisenberg"])
@@ -446,7 +455,13 @@ def main():
                                  args.shots, args.epochs)
     if system == "large":
         if args.study:
-            run_large_convergence_study(args.spins, args.h)
+            points = None
+            if args.study_points:
+                points = [(int(k), int(s), float(dt))
+                          for k, s, dt in (pt.split(",")
+                                           for pt in
+                                           args.study_points.split(";"))]
+            run_large_convergence_study(args.spins, args.h, points=points)
         elif args.pipeline:
             run_large_spin_pipeline(args.system_alias or "heisenberg",
                                     args.spins, args.h, args.krylov_dim,

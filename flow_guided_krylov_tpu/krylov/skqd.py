@@ -809,6 +809,30 @@ class SampleBasedKrylovDiagonalization:
 
     # ------------------------------------------------------------------
 
+    def _oracle_cache_path(self):
+        """Disk-cache location for the sector-oracle energy, keyed by the
+        Hamiltonian content and sector size.  The refine step costs ~17 min
+        of host Lanczos on the 2.7M-state Heisenberg-24 sector; the oracle
+        is benchmark instrumentation, so caching only removes repeat-run
+        latency (mirrors ``MolecularHamiltonian._fci_disk_cache_path``)."""
+        import hashlib
+        import os
+        from pathlib import Path
+        h = self.h
+        hsh = hashlib.sha1()
+        hsh.update(type(h).__name__.encode())
+        for attr in ("n_sites", "Jx", "Jy", "Jz", "V", "h", "L", "periodic"):
+            hsh.update(repr(getattr(h, attr, None)).encode())
+        for attr in ("h_x", "h_y", "h_z"):
+            v = getattr(h, attr, None)
+            if v is not None:
+                hsh.update(np.asarray(v, np.float64).tobytes())
+        hsh.update(bytes(memoryview(np.int64([self.dim]))))
+        root = Path(os.environ.get(
+            "FGK_INTEGRAL_CACHE",
+            Path.home() / ".cache" / "fgk_tpu_integrals"))
+        return root / f"sector_{hsh.hexdigest()}.txt"
+
     def exact_subspace_energy(self, m: int = 120, refine_host: bool = True,
                               tol: float = 1e-9) -> float:
         """Exact ground-state energy of the FULL enumerated subspace.
@@ -825,6 +849,12 @@ class SampleBasedKrylovDiagonalization:
             raise RuntimeError(
                 "Trotter mode has no enumerated subspace; the exact energy "
                 "of the full 2^n space is out of reach by construction")
+        path = self._oracle_cache_path()
+        if refine_host:
+            try:
+                return float(path.read_text())
+            except (OSError, ValueError):
+                pass
         v0 = None
         e_dev = None
         ell = self._ell_structure()
@@ -840,7 +870,13 @@ class SampleBasedKrylovDiagonalization:
         H = (H + H.T) * 0.5
         vals = spla.eigsh(H, k=1, which="SA", v0=v0, tol=tol,
                           return_eigenvectors=False)
-        return float(vals.min())
+        e = float(vals.min())
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(repr(e))
+        except OSError:
+            pass
+        return e
 
     def run(self, final_only: bool = False) -> Dict:
         """Energies vs Krylov dimension on cumulative bases
