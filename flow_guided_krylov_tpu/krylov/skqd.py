@@ -407,10 +407,12 @@ class SampleBasedKrylovDiagonalization:
             # bounds live memory at a handful of statevectors and the
             # dispatch overhead is negligible next to the 268 MB flips.
             #
-            # On TPU, every rotation whose x_mask fits one VMEM tile is
-            # fused into a single Pallas sweep pass (ops/pallas_trotter):
-            # a symmetric splitting is 2nd-order under ANY term ordering,
-            # so the low-bit words are hoisted to the outside —
+            # The Pallas sweep (ops/pallas_trotter) measured 20x SLOWER
+            # than this XLA path on TPU (TFIM-24: 1055.7 vs 51.4 ms per
+            # evolve) — XLA already loop-fuses the chained rotations near
+            # the HBM bound — so it is opt-in only (FGK_PALLAS_SWEEP=1).
+            # When enabled, low-bit words are hoisted to the outside of
+            # the symmetric splitting (2nd-order under any ordering):
             # sweep(fwd) . high(fwd) . high(rev) . sweep(rev).
             from .basis_sampler import _apply_pauli_rotation
             from ..ops.pallas_trotter import make_x_sweep, sweep_supported

@@ -1,11 +1,20 @@
 """Pallas fused Trotter-rotation sweep for large statevectors.
 
-The statevector Trotter path (TFIM-24/28, ``krylov/skqd.py``) applies one
-Pauli rotation per XLA dispatch beyond 20 sites, so every rotation costs a
-full HBM round trip of the (re, im) statevector — the wall that capped
-TFIM-28 at ~800 s (VERDICT round 2 item 9).  This kernel fuses EVERY
-rotation whose x_mask lies inside one VMEM block (bits 0..B-1, B =
-log2(block_rows) + 7) into a single HBM pass:
+**Measured and demoted** (round 3): on a real TPU at TFIM-24 this sweep
+runs an 8-substep evolve in 1055.7 ms where the per-rotation XLA path
+takes 51.4 ms — 20x SLOWER.  The hypothesis behind the kernel (one HBM
+round trip per rotation on the XLA path) is wrong: XLA loop-fuses the
+chained elementwise rotations into a handful of HBM passes already, so
+the path is near the bandwidth bound, while this kernel's
+MXU-permutation formulation turns free XOR addressing into dense
+512x512x128 matmuls per word per tile and becomes compute-bound.  The
+kernel is kept as an interpret-mode-tested reference implementation and
+is only routed to when ``FGK_PALLAS_SWEEP=1`` is set (see
+``sweep_supported``); docs/KERNELS.md records the measurement.
+
+Original design (retained for reference): fuse EVERY rotation whose
+x_mask lies inside one VMEM block (bits 0..B-1, B = log2(block_rows)+7)
+into a single HBM pass:
 
 * the statevector is viewed as (2^n / 128, 128) and processed in
   (block_rows, 128) tiles held in VMEM;
@@ -45,8 +54,12 @@ def _xor_perm_matrix(size: int, mask: int) -> jnp.ndarray:
 
 
 def sweep_supported(n_qubits: int, block_rows: int = 512) -> bool:
-    """The sweep kernel needs at least one full (block_rows, 128) tile."""
-    return (jax.default_backend() == "tpu"
+    """Opt-in only (FGK_PALLAS_SWEEP=1): the sweep measured 20x slower
+    than the loop-fused XLA per-rotation path on TPU (see module
+    docstring); it also needs at least one full (block_rows, 128) tile."""
+    import os
+    return (os.environ.get("FGK_PALLAS_SWEEP") == "1"
+            and jax.default_backend() == "tpu"
             and n_qubits - 7 >= int(np.log2(block_rows)))
 
 
