@@ -253,3 +253,26 @@ def test_exact_subspace_energy_matches_direct_diagonalization():
     # the f32 device-only pass is already close
     e_dev = skqd.exact_subspace_energy(refine_host=False)
     assert abs(e_dev - e_direct) < 1e-3
+
+def test_exact_subspace_energy_disk_cache(tmp_path, monkeypatch):
+    """The sector-oracle energy is disk-cached (the Heisenberg-24 refine
+    costs ~17 min); the cached read must round-trip exactly and be keyed
+    by the Hamiltonian content."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    h = HeisenbergHamiltonian(8, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 7))
+    neel = sum(1 << i for i in range(0, 8, 2))
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(), initial_state=np.array([neel], np.uint32))
+    e1 = skqd.exact_subspace_energy()
+    path = skqd._oracle_cache_path()
+    assert path.exists()
+    assert skqd.exact_subspace_energy() == e1      # cache hit round-trips
+    # a different Hamiltonian keys a different file
+    h2 = HeisenbergHamiltonian(8, 1.0, 1.0, 0.5,
+                               h_z=np.array([0.1] + [0.0] * 7))
+    skqd2 = SampleBasedKrylovDiagonalization(
+        h2, SKQDConfig(), initial_state=np.array([neel], np.uint32))
+    assert skqd2._oracle_cache_path() != path
