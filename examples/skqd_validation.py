@@ -293,4 +293,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from flow_guided_krylov_tpu.utils.profiling import run_with_cache_retry
+    run_with_cache_retry(main)
