@@ -366,6 +366,46 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
     return res
 
 
+def run_large_spin_sci(model: str, n_spins: int, h_field: float,
+                       iters: int = 100, per_iter: int = 4000,
+                       max_basis: int = 300_000) -> dict:
+    """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
+    machinery alone — the spin analog of the molecular ``--mode sci``).
+
+    Round-3 motivation: the Heisenberg-24 pipeline's PT2 stage was still
+    descending ~6 mHa/round when its iteration cap hit; PT2-selected
+    states are far better per-state than SKQD-sampled ones, so a deep SCI
+    run probes how far the 2.7M-state sector can be pushed on one chip.
+    Every claim carries the exact-sector-oracle error."""
+    from flow_guided_krylov_tpu.krylov import (
+        ResidualExpansionConfig, SKQDConfig,
+        SampleBasedKrylovDiagonalization, iterative_residual_expansion)
+    ham, init = make_hamiltonian(model, n_spins, h_field)
+    skqd = SampleBasedKrylovDiagonalization(ham, SKQDConfig(),
+                                            initial_state=init)
+    e_exact = (skqd.exact_subspace_energy()
+               if skqd.subspace is not None else None)
+    cfg = ResidualExpansionConfig(
+        max_iterations=iters, configs_per_iteration=per_iter,
+        stagnation_threshold=1e-6, stagnation_patience=3,
+        max_basis_size=min(skqd.dim if skqd.subspace is not None
+                           else 1 << n_spins, max_basis))
+    t0 = time.time()
+    out = iterative_residual_expansion(ham, init[None, :], cfg,
+                                       verbose=True)
+    res = {"experiment": "large-sci", "model": model, "n_spins": n_spins,
+           "h": h_field, "sector_dim": int(skqd.dim),
+           "final_energy": float(out["energy"]),
+           "basis_size": int(len(out["basis"])),
+           "iterations": int(out["n_iterations"]),
+           "wall_s": round(time.time() - t0, 1)}
+    if e_exact is not None:
+        res["exact_energy"] = e_exact
+        res["error_mha"] = 1000 * (out["energy"] - e_exact)
+    print(json.dumps(res))
+    return res
+
+
 def run_large_convergence_study(n_spins: int, h_field: float,
                                 points=None) -> list:
     """Convergence study at the large-spin frontier (VERDICT round 2
@@ -428,6 +468,12 @@ def main():
     p.add_argument("--study-points", default=None,
                    help="override study grid: 'k,shots,dt;k,shots,dt;...' "
                         "(e.g. '12,100000,0.1;16,300000,0.05')")
+    p.add_argument("--sci", action="store_true",
+                   help="with --system large: seed-state-seeded deep "
+                        "Selected-CI (stage-3 machinery alone), "
+                        "oracle-checked")
+    p.add_argument("--sci-iters", type=int, default=80)
+    p.add_argument("--sci-per-iter", type=int, default=3000)
     # back-compat with the round-1 CLI
     p.add_argument("--model", dest="system_alias", default=None,
                    choices=["tfim", "heisenberg"])
@@ -454,7 +500,11 @@ def main():
         run_discovery_comparison(args.spins, args.h, args.krylov_dim,
                                  args.shots, args.epochs)
     if system == "large":
-        if args.study:
+        if args.sci:
+            run_large_spin_sci(args.system_alias or "heisenberg",
+                               args.spins, args.h, iters=args.sci_iters,
+                               per_iter=args.sci_per_iter)
+        elif args.study:
             points = None
             if args.study_points:
                 points = [(int(k), int(s), float(dt))
