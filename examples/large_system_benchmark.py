@@ -172,16 +172,18 @@ def n2_ccpvdz_10o():
     return MolecularHamiltonian(act)
 
 
-def run_sci(h, exact, max_basis: int = 50_000) -> dict:
+def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
+            per_iter: int = 600) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
                                                iterative_residual_expansion)
     cfg = ResidualExpansionConfig(
-        max_iterations=80, configs_per_iteration=600,
+        max_iterations=iters, configs_per_iteration=per_iter,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(h.n_valid_configs, max_basis))
-    out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg)
+    out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
+                                       verbose=True)
     e = float(out["energy"])
     res = {"final_energy": e, "basis_size": int(len(out["basis"]))}
     if exact is not None:
@@ -190,8 +192,9 @@ def run_sci(h, exact, max_basis: int = 50_000) -> dict:
     return res
 
 
-def run(system: str, preset_name: str = "fast", mode: str = "pipeline"
-        ) -> dict:
+def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
+        sci_iters: int = 80, sci_per_iter: int = 600,
+        sci_max_basis: int = 50_000) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -199,7 +202,8 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline"
     n_valid = h.n_valid_configs
     exact = h.fci_energy() if n_valid <= 100_000 else None
     if mode == "sci":
-        out = run_sci(h, exact)
+        out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
+                      per_iter=sci_per_iter)
     else:
         cfg = SystemScaler(n_valid, QualityPreset(preset_name)
                            ).create_pipeline_config(verbose=False)
@@ -230,8 +234,12 @@ def main():
     p.add_argument("--mode", default="pipeline",
                    choices=["pipeline", "sci"],
                    help="sci = HF-seeded Selected-CI only (no flow)")
+    p.add_argument("--sci-iters", type=int, default=80)
+    p.add_argument("--sci-per-iter", type=int, default=600)
+    p.add_argument("--sci-max-basis", type=int, default=50_000)
     args = p.parse_args()
-    run(args.system, args.preset, args.mode)
+    run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
+        sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis)
 
 
 if __name__ == "__main__":
