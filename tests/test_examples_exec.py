@@ -111,3 +111,29 @@ def test_large_benchmark_glue_tiny_active_space():
     assert out["n_valid"] == 16
     assert out["chemical_accuracy"]
     assert abs(out["error_mha"]) < 0.1
+
+
+def test_lattice_sci_mode_heisenberg8():
+    """--sci mode (seeded deep Selected-CI on a spin sector) must reach
+    near the exact sector energy on a small chain and report an
+    oracle-checked error."""
+    val = load_example("skqd_lattice_validation")
+    out = val.run_large_spin_sci("heisenberg", 8, 0.1,
+                                 iters=12, per_iter=10)
+    assert out["experiment"] == "large-sci"
+    assert out["sector_dim"] == 70                     # C(8,4)
+    assert "error_mha" in out
+    assert out["error_mha"] >= -1e-6                   # variational
+    assert out["error_mha"] < 50.0
+
+
+def test_lattice_convergence_study_tiny():
+    """--study mode: errors must be finite, oracle-checked, and the
+    rows must carry the requested grid."""
+    val = load_example("skqd_lattice_validation")
+    rows = val.run_large_convergence_study(8, 1.0,
+                                           points=[(3, 500, 0.1)])
+    assert len(rows) == 1
+    assert rows[0]["krylov_dim"] == 3
+    assert np.isfinite(rows[0]["error_mha"])
+    assert rows[0]["error_mha"] >= -1e-3               # variational
