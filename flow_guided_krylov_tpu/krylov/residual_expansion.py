@@ -105,6 +105,7 @@ class SelectedCIExpander:
         self._inc_keys: Optional[np.ndarray] = None
         self._inc_H = None
         self._pt2_fn_cache: Dict[Tuple[int, int], object] = {}
+        self._pt2_row_cap: Optional[int] = None
 
     # ------------------------------------------------------------------
 
@@ -220,16 +221,31 @@ class SelectedCIExpander:
         # so the kernel compiles once (axon remote compiles cost ~40 s;
         # the padded extra rows carry zero coefficients and cost ~0.1 s
         # of device time)
-        S_pad = max(64, n_dev, 1 << (S - 1).bit_length(),
+        S_min = max(64, n_dev, 1 << (S - 1).bit_length(),
                     1 << (max(1, c.max_basis_size) - 1).bit_length())
-        S_pad += (-S_pad) % n_dev
+        # HBM guard: the flattened rows*C sort is the dominant allocation,
+        # so the source is processed in fixed blocks sized by the memory
+        # budget — scoring memory is independent of the basis cap (a
+        # 120k-cap N2/cc-pVDZ run compiled a 21 GB program without this).
+        # Per-block partial couplings of a key merge exactly in the
+        # host's grouped sum, like per-shard partials.
+        if self._pt2_row_cap is None:
+            from ..utils.memory import MemoryBudget
+            self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
+        S_blk = max(64, min(S_min, max(self._pt2_row_cap, n_dev)))
+        S_blk += (-S_blk) % n_dev
+        # only dispatch blocks containing real rows (the block shape —
+        # and so the compiled program — is fixed by the cap either way)
+        n_blocks = max(1, -(-S // S_blk))
+        S_pad = n_blocks * S_blk
         # K covers every internal det (<= max_basis_size) that can crowd
         # the coupling^2 ranking, plus a wide margin of externals so the
         # final PT2 rescore (with the |E - E_i| denominator) has slack.
-        # Per-shard blocks keep the same K (cheap: the merged n_dev * K
-        # rows are a few MB), so a key split across shards survives as
-        # long as each part makes its own shard's top-K.
-        K = int(min(S_pad // n_dev * C,
+        # Per-shard/per-block top-Ks keep the same K (cheap: the merged
+        # n_blocks * n_dev * K rows are a few MB), so a key split across
+        # shards or blocks survives as long as each part makes its own
+        # local top-K.
+        K = int(min(S_blk // n_dev * C,
                     c.max_basis_size + 16 * c.configs_per_iteration))
         # pack (a,b) into one uint32 sort key when the bit budget allows:
         # each extra sort operand costs ~20 s of TPU compile time at this
@@ -273,7 +289,7 @@ class SelectedCIExpander:
             # host's grouped sum never double-counts a key
             return a[idx], b[idx], jnp.where(sc >= 0.0, coupling[idx], 0.0)
 
-        fn = self._pt2_fn_cache.get((S_pad, K))
+        fn = self._pt2_fn_cache.get((S_blk, K))
         if fn is None:
             if mesh is not None and n_dev > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -299,17 +315,24 @@ class SelectedCIExpander:
 
             if len(self._pt2_fn_cache) > 8:
                 self._pt2_fn_cache.clear()
-            self._pt2_fn_cache[(S_pad, K)] = fn
+            self._pt2_fn_cache[(S_blk, K)] = fn
 
         pad = S_pad - S
         if pad:
             src = np.concatenate([src, np.repeat(src[:1], pad, axis=0)])
             src_c = np.concatenate([src_c, np.zeros(pad)])
-        ta, tb, tc = fn(jnp.asarray(src), jnp.asarray(src_c, jnp.float32))
-        ta = np.asarray(ta).astype(np.uint32)
-        tb = np.asarray(tb).astype(np.uint32)
+        tas, tbs, tcs = [], [], []
+        for i in range(n_blocks):
+            sl = slice(i * S_blk, (i + 1) * S_blk)
+            ta, tb, tc = fn(jnp.asarray(src[sl]),
+                            jnp.asarray(src_c[sl], jnp.float32))
+            tas.append(np.asarray(ta).astype(np.uint32))
+            tbs.append(np.asarray(tb).astype(np.uint32))
+            tcs.append(np.asarray(tc, np.float64))
+        ta = np.concatenate(tas)
+        tb = np.concatenate(tbs)
         cand = (np.stack([ta, tb], -1) if W == 2 else ta[:, None])
-        return cand, np.asarray(tc, np.float64)
+        return cand, np.concatenate(tcs)
 
     def _pt2_candidates(self, basis: np.ndarray, coeffs: np.ndarray,
                         energy: float

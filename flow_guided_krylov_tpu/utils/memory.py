@@ -82,6 +82,19 @@ class MemoryBudget:
         dim = (self.total_bytes * 0.25 / (4 * max(n_copies, 1))) ** 0.5
         return int(max(4096, min(65536, dim)))
 
+    def pt2_score_rows(self, n_connections: int) -> int:
+        """Max source rows per PT2 device-scoring call
+        (``krylov/residual_expansion.py``): the call flattens
+        rows * n_connections candidates and sorts (key, contrib) pairs —
+        the connection arrays (~12 B/entry), the sort operands and their
+        temporaries (~24 B), and the segment-sum/score vectors (~12 B)
+        put the live footprint near 48 B/entry.  Budget: 40% of memory,
+        rounded down to a power of two so the block shape (and compiled
+        program) is stable across rounds."""
+        entries = self.total_bytes * 0.40 / 48
+        rows = int(max(64, entries / max(n_connections, 1)))
+        return 1 << (rows.bit_length() - 1)
+
     def statevector_sites_cap(self) -> int:
         """Max spin count for the full-2^n statevector Trotter propagator:
         each substep keeps ~4 live (re, im) f32 vector pairs, so

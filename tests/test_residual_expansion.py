@@ -46,6 +46,31 @@ def test_device_scoring_matches_host(lih):
         assert m_d[k] == pytest.approx(s, rel=5e-3, abs=1e-9)
 
 
+def test_blocked_device_scoring_matches_unblocked(lih):
+    """HBM-bounded source blocking (pt2_score_rows cap) returns the same
+    candidates and scores as a single unblocked call: per-block partial
+    couplings of a key must merge exactly in the host's grouped sum."""
+    h = lih
+    basis = _seed_basis(h, 100)
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    e0, coeffs = float(vals[0]), vecs[:, 0]
+
+    one = SelectedCIExpander(h, use_device_scoring=True)
+    one._pt2_row_cap = 1 << 30            # force a single block
+    blk = SelectedCIExpander(h, use_device_scoring=True)
+    blk._pt2_row_cap = 32                 # force >= 4 blocks
+
+    cand_1, scores_1 = one._pt2_candidates(basis, coeffs, e0)
+    cand_b, scores_b = blk._pt2_candidates(basis, coeffs, e0)
+
+    m1 = dict(zip(h.keys(cand_1).tolist(), scores_1.tolist()))
+    mb = dict(zip(h.keys(cand_b).tolist(), scores_b.tolist()))
+    sig = {k for k, s in m1.items() if s > 1e-10}
+    assert sig.issubset(set(mb))
+    for k in sig:
+        assert mb[k] == pytest.approx(m1[k], rel=5e-3, abs=1e-9)
+
+
 def test_incremental_projected_h_matches_full(lih):
     """Blockwise-grown sparse H == a fresh to_sparse build."""
     h = lih
