@@ -317,7 +317,8 @@ def run_large_spin(n_spins: int, h_field: float, krylov_dim: int,
 
 def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
                             krylov_dim: int, shots: int,
-                            max_epochs: int) -> dict:
+                            max_epochs: int, sci_iters: int = 0,
+                            sci_per_iter: int = 0) -> dict:
     """Full 4-stage pipeline on a large lattice (Heisenberg-24: the
     2.7M-state sector through SzConservingFlow + PT2 + sector-ELL SKQD).
 
@@ -347,6 +348,13 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
                          max_krylov_dim=krylov_dim,
                          shots_per_krylov=shots, verbose=True)
     pipe = FlowGuidedKrylovPipeline(ham, cfg, exact_energy=e_exact)
+    # stage-3 depth overrides, applied after adapt_to_system_size so the
+    # tier caps don't claw them back (the deep-SCI records show the
+    # sector floor is PT2-exhaustion, not the tier budget)
+    if sci_iters:
+        pipe.config.residual_iterations = sci_iters
+    if sci_per_iter:
+        pipe.config.residual_configs_per_iter = sci_per_iter
     t0 = time.time()
     out = pipe.run()
     e_ref = float(ham.diagonal_np(init[None, :])[0])
@@ -474,6 +482,9 @@ def main():
                         "oracle-checked")
     p.add_argument("--sci-iters", type=int, default=80)
     p.add_argument("--sci-per-iter", type=int, default=3000)
+    p.add_argument("--sci-depth", action="store_true",
+                   help="with --pipeline: apply --sci-iters/--sci-per-iter "
+                        "as stage-3 depth overrides (post-tier)")
     # back-compat with the round-1 CLI
     p.add_argument("--model", dest="system_alias", default=None,
                    choices=["tfim", "heisenberg"])
@@ -515,7 +526,11 @@ def main():
         elif args.pipeline:
             run_large_spin_pipeline(args.system_alias or "heisenberg",
                                     args.spins, args.h, args.krylov_dim,
-                                    args.shots, args.epochs)
+                                    args.shots, args.epochs,
+                                    sci_iters=args.sci_iters if args.sci_depth
+                                    else 0,
+                                    sci_per_iter=args.sci_per_iter
+                                    if args.sci_depth else 0)
         else:
             run_large_spin(args.spins, args.h, args.krylov_dim, args.shots,
                            model=args.system_alias or "tfim")
