@@ -391,8 +391,17 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
     ham, init = make_hamiltonian(model, n_spins, h_field)
     skqd = SampleBasedKrylovDiagonalization(ham, SKQDConfig(),
                                             initial_state=init)
-    e_exact = (skqd.exact_subspace_energy()
-               if skqd.subspace is not None else None)
+    if skqd.subspace is not None:
+        e_exact = skqd.exact_subspace_energy()
+    else:
+        # non-conserving models (TFIM) span the full 2^n space; the
+        # free-fermion / dense oracle still gives an exact error when
+        # one is closed-form or small enough
+        from flow_guided_krylov_tpu.hamiltonians import TransverseFieldIsing
+        closed_form = (isinstance(ham, TransverseFieldIsing)
+                       and ham.L == 1 and ham.periodic)
+        e_exact = (exact_oracle(ham)
+                   if n_spins <= 14 or closed_form else None)
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
         stagnation_threshold=1e-6, stagnation_patience=3,
