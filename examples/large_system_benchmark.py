@@ -183,12 +183,19 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
-                                       verbose=True)
+                                       verbose=True, pt2_correct=True)
     e = float(out["energy"])
     res = {"final_energy": e, "basis_size": int(len(out["basis"]))}
+    if "pt2_de2" in out:
+        res["pt2_de2"] = out["pt2_de2"]
+        res["pt2_corrected_energy"] = out["pt2_corrected_energy"]
+        res["pt2_exact"] = out["pt2_exact"]
     if exact is not None:
         res["error_mha"] = 1000 * (e - exact)
         res["chemical_accuracy"] = abs(e - exact) < 1.6e-3
+        if "pt2_corrected_energy" in res:
+            res["corrected_error_mha"] = 1000 * (res["pt2_corrected_energy"]
+                                                 - exact)
     return res
 
 

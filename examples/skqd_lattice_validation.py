@@ -409,16 +409,23 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                            else 1 << n_spins, max_basis))
     t0 = time.time()
     out = iterative_residual_expansion(ham, init[None, :], cfg,
-                                       verbose=True)
+                                       verbose=True, pt2_correct=True)
     res = {"experiment": "large-sci", "model": model, "n_spins": n_spins,
            "h": h_field, "sector_dim": int(skqd.dim),
            "final_energy": float(out["energy"]),
            "basis_size": int(len(out["basis"])),
            "iterations": int(out["n_iterations"]),
            "wall_s": round(time.time() - t0, 1)}
+    if "pt2_de2" in out:
+        res["pt2_de2"] = out["pt2_de2"]
+        res["pt2_corrected_energy"] = out["pt2_corrected_energy"]
+        res["pt2_exact"] = out["pt2_exact"]
     if e_exact is not None:
         res["exact_energy"] = e_exact
         res["error_mha"] = 1000 * (out["energy"] - e_exact)
+        if "pt2_corrected_energy" in res:
+            res["corrected_error_mha"] = 1000 * (res["pt2_corrected_energy"]
+                                                 - e_exact)
     print(json.dumps(res))
     return res
 

@@ -105,6 +105,7 @@ class SelectedCIExpander:
         self._inc_keys: Optional[np.ndarray] = None
         self._inc_H = None
         self._pt2_fn_cache: Dict[Tuple[int, int], object] = {}
+        self._pt2_corr_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_row_cap: Optional[int] = None
 
     # ------------------------------------------------------------------
@@ -424,6 +425,134 @@ class SelectedCIExpander:
         return {"basis": new_basis, "energy": e1, "n_added": int(len(top)),
                 "accepted": True, "pt2_correction": float(scores[top].sum())}
 
+    # ------------------------------------------------------------------
+    # Exact second-order correction of the converged variational state
+    # ------------------------------------------------------------------
+
+    def pt2_correction(self, basis: np.ndarray, coeffs: np.ndarray,
+                       energy: float, cap: int = 1 << 23) -> Dict:
+        """Exact Epstein-Nesbet dE2 = sum_k <k|H|Phi>^2 / (E_var - H_kk)
+        over ALL determinants k outside ``basis`` — the quantity SHCI/HCI
+        report as E_var + dE2 when a Selected-CI expansion exhausts.  The
+        reference's PT2 only *ranks* candidates from significant sources
+        (``residual_expansion.py:536-554``); this sums every external
+        coupling from every source exactly.
+
+        Device path (when one scoring block holds the whole basis and the
+        key packs into 32 bits): enumerate + sort + segment-sum all
+        connections, mark first-occurrence external rows via device
+        searchsorted against the sorted basis keys, rank by coupling^2
+        with an EXACT sort (approx_max_k recall would silently drop
+        weight), fetch the top ``cap`` rows and finish in f64 on host.
+        ``exact`` is False only if more than ``cap`` external rows carry
+        weight — raise ``cap`` and rerun.  Host fallback otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        h = self.h
+        W = h.pack_words
+        C = h.n_connections
+        basis = np.atleast_2d(np.asarray(basis, np.uint32))
+        S = len(basis)
+        coeffs = np.asarray(coeffs, np.float64)
+
+        n_bits = getattr(getattr(h, "tables", None), "n_orb", None)
+        if n_bits is None:
+            n_bits = h.n_sites if W == 1 else 16
+        packable = (W == 1) or (2 * n_bits <= 32)
+        if self._pt2_row_cap is None:
+            from ..utils.memory import MemoryBudget
+            self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
+
+        if not (packable and S <= self._pt2_row_cap
+                and hasattr(h, "connections_device")):
+            # exact host path: same algebra, vectorized f64 NumPy
+            conn, elems = h.connections_np(basis)
+            flat = conn.reshape(-1, conn.shape[-1])
+            contrib = (elems * coeffs[:, None]).reshape(-1)
+            keys_f = h.keys(flat)
+            uniq, first_idx, inverse = _sorted_unique(keys_f,
+                                                      return_inverse=True)
+            coupling = np.bincount(inverse, weights=contrib,
+                                   minlength=len(uniq))
+            bk = np.sort(h.keys(basis))
+            pos = np.clip(np.searchsorted(bk, uniq), 0, len(bk) - 1)
+            ext = (bk[pos] != uniq) & (coupling != 0.0)
+            dets = flat[first_idx][ext]
+            coupling = coupling[ext]
+            diag = h.diagonal_np(dets)
+            de2 = float(np.sum(coupling ** 2 / (energy - diag)))
+            return {"de2": de2, "corrected_energy": energy + de2,
+                    "n_external": int(ext.sum()), "exact": True}
+
+        S_pad = max(64, 1 << (S - 1).bit_length())
+        rows = S_pad * C
+        cap = int(min(cap, rows))
+        mask = jnp.uint32((1 << n_bits) - 1)
+        conn_fn = h.connections_device
+
+        fn = self._pt2_corr_cache.get((S_pad, cap))
+        if fn is None:
+            @jax.jit
+            def fn(src, src_c, basis_keys):
+                conn, elems = conn_fn(src)
+                contrib = (elems * src_c[:, None]).reshape(-1)
+                a = conn[..., 0].reshape(-1)
+                if W == 2:
+                    key = ((a << jnp.uint32(n_bits))
+                           | conn[..., 1].reshape(-1))
+                else:
+                    key = a
+                key, contrib = jax.lax.sort((key, contrib), num_keys=1)
+                first = jnp.concatenate([
+                    jnp.ones((1,), bool), key[1:] != key[:-1]])
+                seg = jnp.cumsum(first) - 1
+                coupling = jax.ops.segment_sum(
+                    contrib, seg, num_segments=key.shape[0],
+                    indices_are_sorted=True)[seg]
+                pos = jnp.clip(jnp.searchsorted(basis_keys, key), 0,
+                               basis_keys.shape[0] - 1)
+                ext = basis_keys[pos] != key
+                score = jnp.where(first & ext, coupling * coupling, 0.0)
+                n_valid = jnp.sum((score > 0).astype(jnp.int32))
+                neg, key_s, coup_s = jax.lax.sort(
+                    (-score, key, coupling), num_keys=1)
+                return (key_s[:cap], coup_s[:cap], -neg[:cap], n_valid)
+
+            self._pt2_corr_cache.clear()     # one live shape is enough
+            self._pt2_corr_cache[(S_pad, cap)] = fn
+
+        src = basis
+        src_c = coeffs
+        if S_pad > S:
+            src = np.concatenate([src, np.repeat(src[:1], S_pad - S, 0)])
+            src_c = np.concatenate([src_c, np.zeros(S_pad - S)])
+        if W == 2:
+            bk32 = ((basis[:, 0].astype(np.uint32) << n_bits)
+                    | basis[:, 1].astype(np.uint32))
+        else:
+            bk32 = basis[:, 0].astype(np.uint32)
+        bk32 = np.sort(bk32)
+
+        key_s, coup_s, score_s, n_valid = fn(
+            jnp.asarray(src), jnp.asarray(src_c, jnp.float32),
+            jnp.asarray(bk32))
+        n_valid = int(n_valid)
+        key_s = np.asarray(key_s)
+        valid = np.asarray(score_s) > 0.0
+        keys = key_s[valid]
+        coupling = np.asarray(coup_s, np.float64)[valid]
+        if W == 2:
+            dets = np.stack([(keys >> n_bits).astype(np.uint32),
+                             (keys & ((1 << n_bits) - 1)).astype(np.uint32)],
+                            axis=-1)
+        else:
+            dets = keys.astype(np.uint32)[:, None]
+        diag = h.diagonal_np(dets)
+        de2 = float(np.sum(coupling ** 2 / (energy - diag)))
+        return {"de2": de2, "corrected_energy": energy + de2,
+                "n_external": n_valid, "exact": n_valid <= cap}
+
 
 class ResidualBasedExpander:
     """Raw-residual selection: r_i = max_j |c_j <i|H|j>| keep-max dedup
@@ -488,7 +617,8 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                                  config: Optional[ResidualExpansionConfig] = None,
                                  use_pt2: bool = True,
                                  verbose: bool = False,
-                                 mesh=None) -> Dict:
+                                 mesh=None,
+                                 pt2_correct: bool = False) -> Dict:
     """Loop expansion rounds with stagnation-based early stopping
     (reference ``residual_expansion.py:260-302`` + pipeline loop
     ``pipeline.py:527-596``)."""
@@ -528,5 +658,15 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                 break
         else:
             stall = 0
-    return {"basis": best_basis, "energy": best_energy,
-            "energies": energies, "n_iterations": len(energies)}
+    res = {"basis": best_basis, "energy": best_energy,
+           "energies": energies, "n_iterations": len(energies)}
+    if pt2_correct and use_pt2:
+        # exact Epstein-Nesbet dE2 of the converged variational state
+        # (the final-basis diagonalization hits the fingerprint cache)
+        e_b, c_b = expander._diagonalize(best_basis)
+        corr = expander.pt2_correction(best_basis, c_b, e_b)
+        res.update(pt2_de2=corr["de2"],
+                   pt2_corrected_energy=corr["corrected_energy"],
+                   pt2_n_external=corr["n_external"],
+                   pt2_exact=corr["exact"])
+    return res

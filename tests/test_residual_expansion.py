@@ -71,6 +71,38 @@ def test_blocked_device_scoring_matches_unblocked(lih):
         assert mb[k] == pytest.approx(m1[k], rel=5e-3, abs=1e-9)
 
 
+def test_pt2_correction_tightens_toward_fci(lih):
+    """Exact Epstein-Nesbet dE2 over all externals: negative, recovers
+    most of the remaining error of a partially converged SCI state, and
+    the device kernel matches the host-f64 fallback."""
+    h = lih
+    cfg = ResidualExpansionConfig(max_iterations=2,
+                                  configs_per_iteration=8,
+                                  max_basis_size=20)
+    out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg)
+    basis = out["basis"]
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    e_var, coeffs = float(vals[0]), vecs[:, 0]
+    e_fci = h.fci_energy()
+    assert e_var > e_fci + 1e-5          # partially converged on purpose
+
+    dev = SelectedCIExpander(h)
+    corr = dev.pt2_correction(basis, coeffs, e_var)
+    assert corr["exact"]
+    assert corr["de2"] < 0
+    assert abs(corr["corrected_energy"] - e_fci) < 0.5 * (e_var - e_fci)
+
+    host = SelectedCIExpander(h)
+    host._pt2_row_cap = 0                # force the host-f64 path
+    corr_h = host.pt2_correction(basis, coeffs, e_var)
+    assert corr_h["exact"]
+    # counts differ only by numerically-cancelled couplings (f64 noise
+    # rows the f32 device sum resolves to exact zeros)
+    assert abs(corr_h["n_external"] - corr["n_external"]) \
+        <= 0.25 * corr_h["n_external"]
+    assert corr_h["de2"] == pytest.approx(corr["de2"], rel=1e-3)
+
+
 def test_incremental_projected_h_matches_full(lih):
     """Blockwise-grown sparse H == a fresh to_sparse build."""
     h = lih
