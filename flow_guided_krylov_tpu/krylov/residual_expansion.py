@@ -430,7 +430,8 @@ class SelectedCIExpander:
     # ------------------------------------------------------------------
 
     def pt2_correction(self, basis: np.ndarray, coeffs: np.ndarray,
-                       energy: float, cap: int = 1 << 23) -> Dict:
+                       energy: float, cap: int = 1 << 23,
+                       pad_to: int = 0) -> Dict:
         """Exact Epstein-Nesbet dE2 = sum_k <k|H|Phi>^2 / (E_var - H_kk)
         over ALL determinants k outside ``basis`` — the quantity SHCI/HCI
         report as E_var + dE2 when a Selected-CI expansion exhausts.  The
@@ -464,7 +465,7 @@ class SelectedCIExpander:
             from ..utils.memory import MemoryBudget
             self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
 
-        if not (packable and S <= self._pt2_row_cap
+        if not (packable and max(S, pad_to) <= self._pt2_row_cap
                 and hasattr(h, "connections_device")):
             # exact host path: same algebra, vectorized f64 NumPy
             conn, elems = h.connections_np(basis)
@@ -485,7 +486,9 @@ class SelectedCIExpander:
             return {"de2": de2, "corrected_energy": energy + de2,
                     "n_external": int(ext.sum()), "exact": True}
 
-        S_pad = max(64, 1 << (S - 1).bit_length())
+        # ``pad_to`` pins the compiled shape across a basis-growth loop
+        # (each distinct S_pad costs a fresh ~40 s axon remote compile)
+        S_pad = max(64, 1 << (max(S, pad_to) - 1).bit_length())
         rows = S_pad * C
         cap = int(min(cap, rows))
         mask = jnp.uint32((1 << n_bits) - 1)
