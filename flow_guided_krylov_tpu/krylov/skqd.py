@@ -920,10 +920,22 @@ class FlowGuidedSKQD(SampleBasedKrylovDiagonalization):
         _, idx = np.unique(keys, return_index=True)
         return both[np.sort(idx)]
 
-    def run_with_nf(self) -> Dict:
+    # above this NF-basis size the per-k eigensolve ladder (1 + 2K host
+    # solves, each a fresh >minutes CSR build + ARPACK at 500k+ rows)
+    # costs hours; only the final cumulative union is diagonalized
+    FINAL_ONLY_NF_ROWS = 100_000
+
+    def run_with_nf(self, final_only: Optional[bool] = None) -> Dict:
         """Per-k Krylov-only vs combined energies with variational
-        monotonicity checks and best-stable tracking (``skqd.py:946-1059``)."""
+        monotonicity checks and best-stable tracking (``skqd.py:946-1059``).
+
+        ``final_only`` (auto above ``FINAL_ONLY_NF_ROWS`` NF rows) skips
+        the intermediate per-k eigensolves — the reference's per-k
+        instability bookkeeping is a small-system diagnostic, not worth
+        16 ARPACK solves over ~600k-row bases."""
         c = self.config
+        if final_only is None:
+            final_only = len(self.nf_basis) > self.FINAL_ONLY_NF_ROWS
         nf_energy = self.compute_ground_state_energy(self.nf_basis)
 
         samples = self.generate_krylov_samples()
@@ -937,6 +949,8 @@ class FlowGuidedSKQD(SampleBasedKrylovDiagonalization):
         prev_combined = nf_energy
 
         for k, kb in enumerate(bases):
+            if final_only and k < len(bases) - 1:
+                continue
             e_k = self.compute_ground_state_energy(kb)
             combined = self.get_combined_basis(kb)
             e_c = self.compute_ground_state_energy(combined)

@@ -95,3 +95,27 @@ def test_pipeline_resume(tmp_path):
     assert p2.results["stage1"].get("resumed") is True
     assert out2["chemical_accuracy"]
     assert abs(out1["final_energy"] - out2["final_energy"]) < 1e-8
+
+
+def test_run_with_nf_final_only_matches_full_ladder():
+    """final_only skips the per-k eigensolve ladder but must return the
+    same final combined energy as the full ladder (same seed)."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.krylov import FlowGuidedSKQD, SKQDConfig
+
+    h = create_lih_hamiltonian()
+    basis = h.enumerate_basis()
+    diag = h.diagonal_np(basis)
+    nf = basis[np.argsort(diag)[:40]]
+    cfg = SKQDConfig(max_krylov_dim=4, shots_per_krylov=2000, seed=7)
+
+    full = FlowGuidedSKQD(h, nf, cfg, initial_state=h.get_hf_state()) \
+        .run_with_nf(final_only=False)
+    fast = FlowGuidedSKQD(h, nf, cfg, initial_state=h.get_hf_state()) \
+        .run_with_nf(final_only=True)
+
+    assert len(full["combined_energies"]) == 4
+    assert len(fast["combined_energies"]) == 1
+    assert fast["combined_energies"][0] == pytest.approx(
+        full["combined_energies"][-1], abs=1e-9)
+    assert fast["nf_only_energy"] == pytest.approx(full["nf_only_energy"])
