@@ -221,13 +221,19 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         "n_active_electrons": h.n_electrons, "n_valid": n_valid,
         "final_energy": out["final_energy"],
     }
+    if mode == "sci":
+        # run_sci returns only scalars (incl. the PT2-corrected record)
+        res.update({k: v for k, v in out.items() if k != "final_energy"})
     if exact is not None:
         res["exact_energy"] = exact
-        res["error_mha"] = out["error_mha"]
-        res["chemical_accuracy"] = out["chemical_accuracy"]
+        res.setdefault("error_mha", out.get("error_mha"))
+        res.setdefault("chemical_accuracy", out.get("chemical_accuracy"))
     else:
         res["hf_energy"] = float(h.diagonal_np(h.get_hf_state()[None, :])[0])
         res["correlation_recovered"] = res["hf_energy"] - out["final_energy"]
+        if "pt2_corrected_energy" in res:
+            res["corrected_correlation"] = (res["hf_energy"]
+                                            - res["pt2_corrected_energy"])
     print(json.dumps(res))
     return res
 
