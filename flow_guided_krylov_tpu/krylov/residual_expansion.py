@@ -21,6 +21,7 @@ O(B*C) with no Python-level loops.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -107,6 +108,10 @@ class SelectedCIExpander:
         self._pt2_fn_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_corr_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_row_cap: Optional[int] = None
+        # cumulative wall per phase (diag = host eigensolve incl. the
+        # incremental CSR growth; score = PT2 candidate scoring) — the
+        # stage-3 time split, printed by iterative_residual_expansion
+        self.timings: Dict[str, float] = {"diag": 0.0, "score": 0.0}
 
     # ------------------------------------------------------------------
 
@@ -155,6 +160,14 @@ class SelectedCIExpander:
         """Ground state of H projected on basis (host f64; reference
         ``residual_expansion.py:408-443``).  Warm-started with the previous
         round's eigenvector; unchanged bases hit a fingerprint cache."""
+        t0 = time.perf_counter()
+        try:
+            return self._diagonalize_timed(basis)
+        finally:
+            self.timings["diag"] += time.perf_counter() - t0
+
+    def _diagonalize_timed(self, basis: np.ndarray
+                           ) -> Tuple[float, np.ndarray]:
         keys = self.h.keys(basis)
         fp = keys.tobytes()
         hit = self._diag_cache.get(fp)
@@ -339,6 +352,15 @@ class SelectedCIExpander:
                         energy: float
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (candidate dets (M, W), PT2 scores (M,))."""
+        t0 = time.perf_counter()
+        try:
+            return self._pt2_candidates_timed(basis, coeffs, energy)
+        finally:
+            self.timings["score"] += time.perf_counter() - t0
+
+    def _pt2_candidates_timed(self, basis: np.ndarray, coeffs: np.ndarray,
+                              energy: float
+                              ) -> Tuple[np.ndarray, np.ndarray]:
         c = self.config
         sig = np.abs(coeffs) > c.coefficient_threshold
         if not sig.any():
@@ -661,6 +683,10 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                 break
         else:
             stall = 0
+    if verbose and use_pt2:
+        t = expander.timings
+        print(f"  [sci timings] diag {t['diag']:.1f} s, "
+              f"pt2-score {t['score']:.1f} s")
     res = {"basis": best_basis, "energy": best_energy,
            "energies": energies, "n_iterations": len(energies)}
     if pt2_correct and use_pt2:

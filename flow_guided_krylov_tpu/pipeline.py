@@ -525,6 +525,10 @@ class FlowGuidedKrylovPipeline:
             else:
                 stall = 0
 
+        if c.verbose:
+            t = expander.timings
+            print(f"  [sci timings] diag {t['diag']:.1f} s, "
+                  f"pt2-score {t['score']:.1f} s")
         self.results["stage3"] = {
             "energy": float(best_energy),
             "energies": energies,

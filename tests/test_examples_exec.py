@@ -125,6 +125,22 @@ def test_lattice_sci_mode_heisenberg8():
     assert "error_mha" in out
     assert out["error_mha"] >= -1e-6                   # variational
     assert out["error_mha"] < 50.0
+    # the exact Epstein-Nesbet correction must be reported, negative (or
+    # zero at exhaustion), and move the error toward the oracle
+    assert out["pt2_exact"]
+    assert out["pt2_de2"] <= 1e-12
+    assert abs(out["corrected_error_mha"]) <= out["error_mha"] + 1e-9
+
+
+def test_lattice_sci_mode_tfim_full_space():
+    """--sci on a non-conserving model: full-2^n space with the
+    free-fermion/dense oracle fallback."""
+    val = load_example("skqd_lattice_validation")
+    out = val.run_large_spin_sci("tfim", 8, 1.0, iters=10, per_iter=30)
+    assert out["sector_dim"] == 256
+    assert "error_mha" in out
+    assert out["error_mha"] >= -1e-6
+    assert out["error_mha"] < 100.0
 
 
 def test_lattice_convergence_study_tiny():
