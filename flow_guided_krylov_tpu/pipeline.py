@@ -535,6 +535,7 @@ class FlowGuidedKrylovPipeline:
             "basis": best_basis,
             "basis_size": int(len(best_basis)),
             "n_iterations": len(energies),
+            "timings": dict(expander.timings),
         }
         if c.verbose and self.exact_energy is not None:
             print(f"  residual E={best_energy:.6f} "
