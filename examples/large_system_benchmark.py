@@ -173,13 +173,14 @@ def n2_ccpvdz_10o():
 
 
 def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
-            per_iter: int = 600) -> dict:
+            per_iter: int = 600, growth: float = 0.0) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
                                                iterative_residual_expansion)
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
+        growth_factor=growth,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
@@ -201,7 +202,7 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
 
 def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_iters: int = 80, sci_per_iter: int = 600,
-        sci_max_basis: int = 50_000) -> dict:
+        sci_max_basis: int = 50_000, sci_growth: float = 0.0) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -210,7 +211,7 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
     exact = h.fci_energy() if n_valid <= 100_000 else None
     if mode == "sci":
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
-                      per_iter=sci_per_iter)
+                      per_iter=sci_per_iter, growth=sci_growth)
     else:
         cfg = SystemScaler(n_valid, QualityPreset(preset_name)
                            ).create_pipeline_config(verbose=False)
@@ -250,9 +251,13 @@ def main():
     p.add_argument("--sci-iters", type=int, default=80)
     p.add_argument("--sci-per-iter", type=int, default=600)
     p.add_argument("--sci-max-basis", type=int, default=50_000)
+    p.add_argument("--sci-growth", type=float, default=0.0,
+                   help="SHCI-style proportional adds: each round adds "
+                        "max(per-iter, growth * basis) states (0 = fixed)")
     args = p.parse_args()
     run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
-        sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis)
+        sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis,
+        sci_growth=args.sci_growth)
 
 
 if __name__ == "__main__":

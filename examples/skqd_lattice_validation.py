@@ -376,7 +376,8 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
 
 def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        iters: int = 100, per_iter: int = 4000,
-                       max_basis: int = 300_000) -> dict:
+                       max_basis: int = 300_000,
+                       growth: float = 0.0) -> dict:
     """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
     machinery alone — the spin analog of the molecular ``--mode sci``).
 
@@ -404,6 +405,7 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                    if n_spins <= 14 or closed_form else None)
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
+        growth_factor=growth,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(skqd.dim if skqd.subspace is not None
                            else 1 << n_spins, max_basis))
@@ -498,6 +500,12 @@ def main():
                         "oracle-checked")
     p.add_argument("--sci-iters", type=int, default=80)
     p.add_argument("--sci-per-iter", type=int, default=3000)
+    p.add_argument("--sci-max-basis", type=int, default=300_000,
+                   help="with --sci: variational basis cap (the deep "
+                        "Heisenberg-24 record used 600k)")
+    p.add_argument("--sci-growth", type=float, default=0.0,
+                   help="with --sci: SHCI-style proportional adds — each "
+                        "round adds max(per-iter, growth * basis) states")
     p.add_argument("--sci-depth", action="store_true",
                    help="with --pipeline: apply --sci-iters/--sci-per-iter "
                         "as stage-3 depth overrides (post-tier)")
@@ -530,7 +538,9 @@ def main():
         if args.sci:
             run_large_spin_sci(args.system_alias or "heisenberg",
                                args.spins, args.h, iters=args.sci_iters,
-                               per_iter=args.sci_per_iter)
+                               per_iter=args.sci_per_iter,
+                               max_basis=args.sci_max_basis,
+                               growth=args.sci_growth)
         elif args.study:
             points = None
             if args.study_points:

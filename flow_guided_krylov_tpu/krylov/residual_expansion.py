@@ -65,6 +65,11 @@ class ResidualExpansionConfig:
     stagnation_patience: int = 2
     max_basis_size: int = 4096
     coefficient_threshold: float = 1e-6   # |c_j| cutoff for source states
+    # SHCI-style proportional growth: when > 0, each round adds
+    # max(configs_per_iteration, growth_factor * len(basis)) states, so a
+    # deep run reaches a B-state basis in O(log B) eigensolves instead of
+    # B / configs_per_iteration.  0 keeps the reference's fixed schedule.
+    growth_factor: float = 0.0
 
 
 class SelectedCIExpander:
@@ -662,7 +667,11 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
     best_basis = basis
     stall = 0
     for it in range(cfg.max_iterations):
-        out = expander.expand_basis(basis)
+        n_add = None
+        if use_pt2 and cfg.growth_factor > 0:
+            n_add = max(cfg.configs_per_iteration,
+                        int(cfg.growth_factor * len(basis)))
+        out = expander.expand_basis(basis, n_add=n_add)
         e = out["energy"]
         energies.append(e)
         if e < best_energy - 1e-12:

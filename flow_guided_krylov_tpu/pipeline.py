@@ -93,6 +93,9 @@ class PipelineConfig:
     residual_configs_per_iter: int = 150
     residual_threshold: float = 1e-6
     use_perturbative_selection: bool = True
+    # SHCI-style proportional adds (0 = reference's fixed schedule): each
+    # stage-3 round adds max(residual_configs_per_iter, f * basis) states
+    residual_growth_factor: float = 0.0
 
     # SKQD
     max_krylov_dim: int = 8
@@ -505,7 +508,11 @@ class FlowGuidedKrylovPipeline:
         stall = 0
         energies: List[float] = []
         for it in range(c.residual_iterations):
-            out = expander.expand_basis(basis)
+            n_add = None
+            if c.residual_growth_factor > 0:
+                n_add = max(c.residual_configs_per_iter,
+                            int(c.residual_growth_factor * len(basis)))
+            out = expander.expand_basis(basis, n_add=n_add)
             e = out["energy"]
             energies.append(e)
             improvement = best_energy - e

@@ -203,3 +203,24 @@ def test_sharded_pt2_expansion_reaches_fci(lih):
                                 max_iterations=8, max_basis_size=225),
         use_pt2=True, mesh=mesh)
     assert out["energy"] - exact < 2e-3
+
+
+def test_growth_factor_fewer_iterations_same_energy(lih):
+    """SHCI-style proportional adds reach the same energy in fewer
+    eigensolves than the fixed schedule (growth_factor=0 keeps the
+    reference behavior exactly)."""
+    h = lih
+    exact = h.fci_energy()
+    seed = h.get_hf_state()[None, :]
+
+    def run(gf):
+        cfg = ResidualExpansionConfig(
+            max_iterations=40, configs_per_iteration=10, growth_factor=gf,
+            stagnation_threshold=1e-9, stagnation_patience=3,
+            max_basis_size=225)
+        return iterative_residual_expansion(h, seed, cfg)
+
+    fixed, grown = run(0.0), run(0.5)
+    assert grown["energy"] - exact < 1e-4
+    assert grown["energy"] == pytest.approx(fixed["energy"], abs=1e-4)
+    assert grown["n_iterations"] < fixed["n_iterations"]
