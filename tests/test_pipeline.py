@@ -119,3 +119,19 @@ def test_run_with_nf_final_only_matches_full_ladder():
     assert fast["combined_energies"][0] == pytest.approx(
         full["combined_energies"][-1], abs=1e-9)
     assert fast["nf_only_energy"] == pytest.approx(full["nf_only_energy"])
+
+
+def test_residual_growth_factor_pipeline():
+    """Proportional stage-3 adds (residual_growth_factor) keep the
+    pipeline's chemical accuracy; growth only changes the add schedule."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    h = create_lih_hamiltonian()
+    cfg = PipelineConfig(max_epochs=60, min_epochs=20, samples_per_batch=256,
+                         nqs_hidden_dims=[64, 64], nf_hidden_dims=[64, 64],
+                         residual_growth_factor=0.5, residual_iterations=12,
+                         residual_configs_per_iter=20,
+                         skip_skqd=True, verbose=False)
+    pipe = FlowGuidedKrylovPipeline(h, cfg, exact_energy=h.fci_energy())
+    out = pipe.run()
+    assert out["final_energy"] >= h.fci_energy() - 1e-9
+    assert abs(out["error_mha"]) < 1.6
