@@ -655,10 +655,11 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
     import dataclasses
     cfg = config or ResidualExpansionConfig()
     basis = np.atleast_2d(np.asarray(initial_basis, np.uint32))
-    # never let a large seed basis turn expansion into a no-op: the cap
-    # must leave room for the requested rounds
-    needed = len(basis) + cfg.max_iterations * cfg.configs_per_iteration
-    if cfg.max_basis_size < needed:
+    # never let a large seed basis turn expansion into a no-op — but only
+    # when the seed actually crowds the cap; a deliberate cap on a deep
+    # run (seed far below it) is respected as the stopping point
+    if cfg.max_basis_size < len(basis) + cfg.configs_per_iteration:
+        needed = len(basis) + cfg.max_iterations * cfg.configs_per_iteration
         cfg = dataclasses.replace(cfg, max_basis_size=needed)
     expander = (SelectedCIExpander(hamiltonian, cfg, mesh=mesh) if use_pt2
                 else ResidualBasedExpander(hamiltonian, cfg))
