@@ -153,3 +153,16 @@ def test_lattice_convergence_study_tiny():
     assert rows[0]["krylov_dim"] == 3
     assert np.isfinite(rows[0]["error_mha"])
     assert rows[0]["error_mha"] >= -1e-3               # variational
+
+
+def test_lattice_sci_growth_schedule():
+    """--sci-growth: proportional adds reach the same sector energy with
+    fewer eigensolve rounds than the fixed schedule."""
+    val = load_example("skqd_lattice_validation")
+    fixed = val.run_large_spin_sci("heisenberg", 10, 0.1,
+                                   iters=40, per_iter=8)
+    grown = val.run_large_spin_sci("heisenberg", 10, 0.1,
+                                   iters=40, per_iter=8, growth=0.5)
+    assert grown["error_mha"] >= -1e-6
+    assert abs(grown["error_mha"] - fixed["error_mha"]) < 0.5
+    assert grown["iterations"] < fixed["iterations"]
