@@ -377,7 +377,8 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
 def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        iters: int = 100, per_iter: int = 4000,
                        max_basis: int = 300_000,
-                       growth: float = 0.0) -> dict:
+                       growth: float = 0.0,
+                       pt2_cap: int = 0) -> dict:
     """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
     machinery alone — the spin analog of the molecular ``--mode sci``).
 
@@ -411,7 +412,8 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                            else 1 << n_spins, max_basis))
     t0 = time.time()
     out = iterative_residual_expansion(ham, init[None, :], cfg,
-                                       verbose=True, pt2_correct=True)
+                                       verbose=True, pt2_correct=True,
+                                       pt2_cap=pt2_cap or None)
     res = {"experiment": "large-sci", "model": model, "n_spins": n_spins,
            "h": h_field, "sector_dim": int(skqd.dim),
            "final_energy": float(out["energy"]),
@@ -506,6 +508,10 @@ def main():
     p.add_argument("--sci-growth", type=float, default=0.0,
                    help="with --sci: SHCI-style proportional adds — each "
                         "round adds max(per-iter, growth * basis) states")
+    p.add_argument("--sci-pt2-cap", type=int, default=0,
+                   help="with --sci: external-row fetch cap for the exact "
+                        "PT2 correction (0 = default 2^23; raise when "
+                        "pt2_exact comes back False)")
     p.add_argument("--sci-depth", action="store_true",
                    help="with --pipeline: apply --sci-iters/--sci-per-iter "
                         "as stage-3 depth overrides (post-tier)")
@@ -540,7 +546,8 @@ def main():
                                args.spins, args.h, iters=args.sci_iters,
                                per_iter=args.sci_per_iter,
                                max_basis=args.sci_max_basis,
-                               growth=args.sci_growth)
+                               growth=args.sci_growth,
+                               pt2_cap=args.sci_pt2_cap)
         elif args.study:
             points = None
             if args.study_points:

@@ -648,7 +648,8 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                                  use_pt2: bool = True,
                                  verbose: bool = False,
                                  mesh=None,
-                                 pt2_correct: bool = False) -> Dict:
+                                 pt2_correct: bool = False,
+                                 pt2_cap: Optional[int] = None) -> Dict:
     """Loop expansion rounds with stagnation-based early stopping
     (reference ``residual_expansion.py:260-302`` + pipeline loop
     ``pipeline.py:527-596``)."""
@@ -703,7 +704,9 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
         # exact Epstein-Nesbet dE2 of the converged variational state
         # (the final-basis diagonalization hits the fingerprint cache)
         e_b, c_b = expander._diagonalize(best_basis)
-        corr = expander.pt2_correction(best_basis, c_b, e_b)
+        corr = (expander.pt2_correction(best_basis, c_b, e_b, cap=pt2_cap)
+                if pt2_cap else
+                expander.pt2_correction(best_basis, c_b, e_b))
         res.update(pt2_de2=corr["de2"],
                    pt2_corrected_energy=corr["corrected_energy"],
                    pt2_n_external=corr["n_external"],
