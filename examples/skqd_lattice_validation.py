@@ -391,8 +391,14 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
         ResidualExpansionConfig, SKQDConfig,
         SampleBasedKrylovDiagonalization, iterative_residual_expansion)
     ham, init = make_hamiltonian(model, n_spins, h_field)
-    skqd = SampleBasedKrylovDiagonalization(ham, SKQDConfig(),
-                                            initial_state=init)
+    # conserving models: force the enumerated-sector path even when the
+    # sector's ELL table exceeds the (conservative) connection-table
+    # budget — the oracle only builds the table transiently, and a
+    # 10.4M-state C(26,13) sector at 27 entries/state (~2.3 GB) fits HBM
+    conserving = getattr(ham, "conserves_magnetization", False)
+    skqd = SampleBasedKrylovDiagonalization(
+        ham, SKQDConfig(evolution="ell" if conserving else "auto"),
+        initial_state=init)
     if skqd.subspace is not None:
         e_exact = skqd.exact_subspace_energy()
     else:
