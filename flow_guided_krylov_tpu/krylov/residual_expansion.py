@@ -189,7 +189,15 @@ class SelectedCIExpander:
         if len(basis) > 2048:
             import scipy.sparse.linalg as spla
             M = self._projected_sparse(basis, keys)
-            vals, vecs = spla.eigsh(M, k=2, which="SA", v0=v0)
+            if v0 is not None:
+                # warm rounds: k=1 at a loose residual tol is ~4x cheaper
+                # than k=2 at machine tol; Ritz values converge from above
+                # (variational), and the eigenvalue error ~ (tol*|E|)^2/gap
+                # is far below the 1e-10 accept threshold
+                vals, vecs = spla.eigsh(M, k=1, which="SA", v0=v0,
+                                        tol=1e-10)
+            else:
+                vals, vecs = spla.eigsh(M, k=2, which="SA")
             idx = np.argsort(vals)
             e, vec = float(vals[idx][0]), vecs[:, idx][:, 0]
         else:
