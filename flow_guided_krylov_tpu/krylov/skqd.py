@@ -859,11 +859,21 @@ class SampleBasedKrylovDiagonalization:
                 pass
         v0 = None
         e_dev = None
-        ell = self._ell_structure()
-        if ell is not None:
-            from ..postprocessing.eigensolver import lanczos_ground_state_ell
-            e_dev, v = lanczos_ground_state_ell(*ell, m=min(m, self.dim))
-            v0 = np.asarray(v, np.float64)[:self.dim]   # drop mesh padding
+        try:
+            ell = self._ell_structure()
+            if ell is not None:
+                from ..postprocessing.eigensolver import \
+                    lanczos_ground_state_ell
+                e_dev, v = lanczos_ground_state_ell(*ell, m=min(m, self.dim))
+                v0 = np.asarray(v, np.float64)[:self.dim]  # drop mesh padding
+        except Exception as exc:  # noqa: BLE001 - device loss must not kill
+            # the oracle: a crashed/restarted TPU worker (observed on the
+            # axon tunnel) just costs the host refine its warm start
+            if not refine_host:
+                raise
+            print(f"  [oracle] device Lanczos unavailable ({exc!r}); "
+                  "host refine runs unseeded")
+            v0 = None
         if not refine_host:
             if e_dev is None:
                 raise RuntimeError("no device ELL structure available")
