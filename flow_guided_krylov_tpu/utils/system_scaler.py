@@ -99,6 +99,11 @@ class SystemScaler:
             "residual_iterations": int(min(20, max(5, log2n))),
             "residual_configs_per_iter": int(min(500, max(50,
                                                           math.sqrt(n) * 4))),
+            # SHCI-style proportional stage-3 adds on big spaces: measured
+            # identical accuracy at 6.5x lower wall on the 2.7M-state
+            # Heisenberg-24 deep run (BENCH_RESULTS.md); small spaces keep
+            # the reference's fixed schedule
+            "residual_growth_factor": 0.15 if n > 200_000 else 0.0,
             "shots_per_krylov": int(min(200_000, max(10_000, n * 10))),
         }
 
@@ -136,6 +141,7 @@ class SystemScaler:
             max_diverse_configs=p["max_diverse_configs"],
             residual_iterations=p["residual_iterations"],
             residual_configs_per_iter=p["residual_configs_per_iter"],
+            residual_growth_factor=p["residual_growth_factor"],
             shots_per_krylov=p["shots_per_krylov"],
         )
         for k, v in overrides.items():
