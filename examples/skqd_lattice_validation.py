@@ -318,7 +318,8 @@ def run_large_spin(n_spins: int, h_field: float, krylov_dim: int,
 def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
                             krylov_dim: int, shots: int,
                             max_epochs: int, sci_iters: int = 0,
-                            sci_per_iter: int = 0) -> dict:
+                            sci_per_iter: int = 0,
+                            sci_growth: float = 0.0) -> dict:
     """Full 4-stage pipeline on a large lattice (Heisenberg-24: the
     2.7M-state sector through SzConservingFlow + PT2 + sector-ELL SKQD).
 
@@ -355,6 +356,8 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
         pipe.config.residual_iterations = sci_iters
     if sci_per_iter:
         pipe.config.residual_configs_per_iter = sci_per_iter
+    if sci_growth:
+        pipe.config.residual_growth_factor = sci_growth
     t0 = time.time()
     out = pipe.run()
     e_ref = float(ham.diagonal_np(init[None, :])[0])
@@ -569,7 +572,9 @@ def main():
                                     sci_iters=args.sci_iters if args.sci_depth
                                     else 0,
                                     sci_per_iter=args.sci_per_iter
-                                    if args.sci_depth else 0)
+                                    if args.sci_depth else 0,
+                                    sci_growth=args.sci_growth
+                                    if args.sci_depth else 0.0)
         else:
             run_large_spin(args.spins, args.h, args.krylov_dim, args.shots,
                            model=args.system_alias or "tfim")
