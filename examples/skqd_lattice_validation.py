@@ -381,7 +381,8 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        iters: int = 100, per_iter: int = 4000,
                        max_basis: int = 300_000,
                        growth: float = 0.0,
-                       pt2_cap: int = 0) -> dict:
+                       pt2_cap: int = 0,
+                       threshold: float = 1e-4) -> dict:
     """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
     machinery alone — the spin analog of the molecular ``--mode sci``).
 
@@ -415,7 +416,7 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                    if n_spins <= 14 or closed_form else None)
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
-        growth_factor=growth,
+        growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(skqd.dim if skqd.subspace is not None
                            else 1 << n_spins, max_basis))
@@ -517,6 +518,10 @@ def main():
     p.add_argument("--sci-growth", type=float, default=0.0,
                    help="with --sci: SHCI-style proportional adds — each "
                         "round adds max(per-iter, growth * basis) states")
+    p.add_argument("--sci-threshold", type=float, default=1e-4,
+                   help="with --sci: PT2 coupling threshold — candidates "
+                        "with |<i|H|Phi>| below it are never added; the "
+                        "deep records self-terminate at this cutoff")
     p.add_argument("--sci-pt2-cap", type=int, default=0,
                    help="with --sci: external-row fetch cap for the exact "
                         "PT2 correction (0 = default 2^23; raise when "
@@ -556,7 +561,8 @@ def main():
                                per_iter=args.sci_per_iter,
                                max_basis=args.sci_max_basis,
                                growth=args.sci_growth,
-                               pt2_cap=args.sci_pt2_cap)
+                               pt2_cap=args.sci_pt2_cap,
+                               threshold=args.sci_threshold)
         elif args.study:
             points = None
             if args.study_points:
