@@ -276,3 +276,31 @@ def test_exact_subspace_energy_disk_cache(tmp_path, monkeypatch):
     skqd2 = SampleBasedKrylovDiagonalization(
         h2, SKQDConfig(), initial_state=np.array([neel], np.uint32))
     assert skqd2._oracle_cache_path() != path
+
+
+def test_exact_subspace_energy_survives_device_loss(tmp_path, monkeypatch):
+    """A crashed/restarted TPU worker during the device Lanczos must not
+    kill the oracle — the host f64 refine runs unseeded instead (observed
+    on the axon tunnel during the round-3 Heisenberg runs)."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    h = HeisenbergHamiltonian(10, 1.0, 1.0, 1.0,
+                              h_z=np.array([0.1] + [0.0] * 9))
+    neel = sum(1 << i for i in range(0, 10, 2))
+    skqd = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(), initial_state=np.array([neel], np.uint32))
+    monkeypatch.setattr(
+        skqd, "_ell_structure",
+        lambda: (_ for _ in ()).throw(RuntimeError("TPU worker crashed")))
+    e = skqd.exact_subspace_energy()
+    e_direct = float(h.exact_ground_state(skqd.subspace, k=1)[0][0])
+    assert abs(e - e_direct) < 1e-8
+    # the device-only mode has nothing to fall back to: it must raise
+    skqd2 = SampleBasedKrylovDiagonalization(
+        h, SKQDConfig(), initial_state=np.array([neel], np.uint32))
+    monkeypatch.setattr(
+        skqd2, "_ell_structure",
+        lambda: (_ for _ in ()).throw(RuntimeError("TPU worker crashed")))
+    with pytest.raises(RuntimeError):
+        skqd2.exact_subspace_energy(refine_host=False)
