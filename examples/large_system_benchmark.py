@@ -173,14 +173,15 @@ def n2_ccpvdz_10o():
 
 
 def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
-            per_iter: int = 600, growth: float = 0.0) -> dict:
+            per_iter: int = 600, growth: float = 0.0,
+            threshold: float = 1e-4) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
                                                iterative_residual_expansion)
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
-        growth_factor=growth,
+        growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
@@ -202,7 +203,8 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
 
 def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_iters: int = 80, sci_per_iter: int = 600,
-        sci_max_basis: int = 50_000, sci_growth: float = 0.0) -> dict:
+        sci_max_basis: int = 50_000, sci_growth: float = 0.0,
+        sci_threshold: float = 1e-4) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -211,7 +213,8 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
     exact = h.fci_energy() if n_valid <= 100_000 else None
     if mode == "sci":
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
-                      per_iter=sci_per_iter, growth=sci_growth)
+                      per_iter=sci_per_iter, growth=sci_growth,
+                      threshold=sci_threshold)
     else:
         cfg = SystemScaler(n_valid, QualityPreset(preset_name)
                            ).create_pipeline_config(verbose=False)
@@ -254,10 +257,13 @@ def main():
     p.add_argument("--sci-growth", type=float, default=0.0,
                    help="SHCI-style proportional adds: each round adds "
                         "max(per-iter, growth * basis) states (0 = fixed)")
+    p.add_argument("--sci-threshold", type=float, default=1e-4,
+                   help="PT2 coupling threshold; the deep runs "
+                        "self-terminate at this cutoff")
     args = p.parse_args()
     run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
         sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis,
-        sci_growth=args.sci_growth)
+        sci_growth=args.sci_growth, sci_threshold=args.sci_threshold)
 
 
 if __name__ == "__main__":
