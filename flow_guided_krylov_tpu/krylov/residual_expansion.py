@@ -500,8 +500,7 @@ class SelectedCIExpander:
             from ..utils.memory import MemoryBudget
             self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
 
-        if not (packable and max(S, pad_to) <= self._pt2_row_cap
-                and hasattr(h, "connections_device")):
+        def _host_exact():
             # exact host path: same algebra, vectorized f64 NumPy
             conn, elems = h.connections_np(basis)
             flat = conn.reshape(-1, conn.shape[-1])
@@ -515,11 +514,19 @@ class SelectedCIExpander:
             pos = np.clip(np.searchsorted(bk, uniq), 0, len(bk) - 1)
             ext = (bk[pos] != uniq) & (coupling != 0.0)
             dets = flat[first_idx][ext]
-            coupling = coupling[ext]
+            coupling_e = coupling[ext]
             diag = h.diagonal_np(dets)
-            de2 = float(np.sum(coupling ** 2 / (energy - diag)))
+            de2 = float(np.sum(coupling_e ** 2 / (energy - diag)))
             return {"de2": de2, "corrected_energy": energy + de2,
                     "n_external": int(ext.sum()), "exact": True}
+
+        # the correction kernel carries a second (score, key, coupling)
+        # full sort on top of the scoring footprint, so it admits only
+        # half the scoring row budget (a 2.5M-source Heisenberg-26 pass
+        # at the full budget crashed the TPU worker)
+        if not (packable and max(S, pad_to) <= self._pt2_row_cap // 2
+                and hasattr(h, "connections_device")):
+            return _host_exact()
 
         # ``pad_to`` pins the compiled shape across a basis-growth loop
         # (each distinct S_pad costs a fresh ~40 s axon remote compile)
