@@ -520,23 +520,40 @@ class SelectedCIExpander:
             return {"de2": de2, "corrected_energy": energy + de2,
                     "n_external": int(ext.sum()), "exact": True}
 
-        # the correction kernel carries a second (score, key, coupling)
-        # full sort on top of the scoring footprint, so it admits only
-        # half the scoring row budget (a 2.5M-source Heisenberg-26 pass
-        # at the full budget crashed the TPU worker)
-        if not (packable and max(S, pad_to) <= self._pt2_row_cap // 2
+        if not (packable and self._pt2_row_cap
                 and hasattr(h, "connections_device")):
             return _host_exact()
 
-        # ``pad_to`` pins the compiled shape across a basis-growth loop
-        # (each distinct S_pad costs a fresh ~40 s axon remote compile)
-        S_pad = max(64, 1 << (max(S, pad_to) - 1).bit_length())
-        rows = S_pad * C
-        cap = int(min(cap, rows))
-        mask = jnp.uint32((1 << n_bits) - 1)
+        # The correction kernel carries a second (score, key, coupling)
+        # full sort on top of the scoring footprint, so one block admits
+        # only half the scoring row budget (a 2.5M-source Heisenberg-26
+        # pass at the full budget crashed the TPU worker).  Larger bases
+        # are processed in fixed blocks; per-block partial couplings of a
+        # key merge exactly in the host's grouped sum, like the scoring
+        # path (``_pt2_topk_device``).  ``pad_to`` pins the compiled
+        # shape across a growth loop (each distinct block shape costs a
+        # fresh ~40 s axon remote compile).
+        S_blk = max(64, min(self._pt2_row_cap // 2,
+                            1 << (max(S, pad_to) - 1).bit_length()))
+        n_blocks = max(1, -(-S // S_blk))
+        S_pad = n_blocks * S_blk
+        cap = int(min(cap, S_blk * C))
         conn_fn = h.connections_device
 
-        fn = self._pt2_corr_cache.get((S_pad, cap))
+        # sorted basis keys, padded to a stable power-of-two shape with a
+        # sentinel above every real (<= 2*n_bits bit) key
+        if W == 2:
+            bk32 = ((basis[:, 0].astype(np.uint32) << n_bits)
+                    | basis[:, 1].astype(np.uint32))
+        else:
+            bk32 = basis[:, 0].astype(np.uint32)
+        bk32 = np.sort(bk32)
+        B_pad = 1 << (len(bk32) - 1).bit_length()
+        if B_pad > len(bk32):
+            bk32 = np.concatenate([
+                bk32, np.full(B_pad - len(bk32), np.uint32(0xFFFFFFFF))])
+
+        fn = self._pt2_corr_cache.get((S_blk, cap, B_pad))
         if fn is None:
             @jax.jit
             def fn(src, src_c, basis_keys):
@@ -565,28 +582,38 @@ class SelectedCIExpander:
                 return (key_s[:cap], coup_s[:cap], -neg[:cap], n_valid)
 
             self._pt2_corr_cache.clear()     # one live shape is enough
-            self._pt2_corr_cache[(S_pad, cap)] = fn
+            self._pt2_corr_cache[(S_blk, cap, B_pad)] = fn
 
         src = basis
         src_c = coeffs
         if S_pad > S:
             src = np.concatenate([src, np.repeat(src[:1], S_pad - S, 0)])
             src_c = np.concatenate([src_c, np.zeros(S_pad - S)])
-        if W == 2:
-            bk32 = ((basis[:, 0].astype(np.uint32) << n_bits)
-                    | basis[:, 1].astype(np.uint32))
-        else:
-            bk32 = basis[:, 0].astype(np.uint32)
-        bk32 = np.sort(bk32)
+        bk_dev = jnp.asarray(bk32)
 
-        key_s, coup_s, score_s, n_valid = fn(
-            jnp.asarray(src), jnp.asarray(src_c, jnp.float32),
-            jnp.asarray(bk32))
-        n_valid = int(n_valid)
-        key_s = np.asarray(key_s)
-        valid = np.asarray(score_s) > 0.0
-        keys = key_s[valid]
-        coupling = np.asarray(coup_s, np.float64)[valid]
+        exact = True
+        key_parts, coup_parts = [], []
+        for i in range(n_blocks):
+            sl = slice(i * S_blk, (i + 1) * S_blk)
+            key_s, coup_s, score_s, n_valid = fn(
+                jnp.asarray(src[sl]),
+                jnp.asarray(src_c[sl], jnp.float32), bk_dev)
+            exact = exact and int(n_valid) <= cap
+            valid = np.asarray(score_s) > 0.0
+            key_parts.append(np.asarray(key_s)[valid])
+            coup_parts.append(np.asarray(coup_s, np.float64)[valid])
+
+        keys = np.concatenate(key_parts)
+        coupling = np.concatenate(coup_parts)
+        if n_blocks > 1:
+            # grouped sum of per-block partial couplings (exact: every
+            # block contributes at most one representative row per key)
+            order = np.argsort(keys, kind="stable")
+            keys, coupling = keys[order], coupling[order]
+            firsts = np.flatnonzero(np.concatenate(
+                [[True], keys[1:] != keys[:-1]]))
+            coupling = np.add.reduceat(coupling, firsts)
+            keys = keys[firsts]
         if W == 2:
             dets = np.stack([(keys >> n_bits).astype(np.uint32),
                              (keys & ((1 << n_bits) - 1)).astype(np.uint32)],
@@ -596,7 +623,7 @@ class SelectedCIExpander:
         diag = h.diagonal_np(dets)
         de2 = float(np.sum(coupling ** 2 / (energy - diag)))
         return {"de2": de2, "corrected_energy": energy + de2,
-                "n_external": n_valid, "exact": n_valid <= cap}
+                "n_external": int(len(keys)), "exact": exact}
 
 
 class ResidualBasedExpander:

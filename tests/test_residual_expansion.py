@@ -103,6 +103,32 @@ def test_pt2_correction_tightens_toward_fci(lih):
     assert corr_h["de2"] == pytest.approx(corr["de2"], rel=1e-3)
 
 
+def test_pt2_correction_blocked_matches_host(lih):
+    """Source-blocked correction (basis above half the scoring row
+    budget) merges per-block partial couplings exactly: de2 matches the
+    host-f64 single-pass sum on a basis large enough for 4 blocks."""
+    h = lih
+    basis = h.enumerate_basis()           # 225 configs -> 4 blocks at 64
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    # correct a deliberately-shifted energy so de2 is well-conditioned
+    # (at the FCI point every external coupling vanishes)
+    sub = basis[: len(basis) // 2]
+    vals_s, vecs_s = h.exact_ground_state(sub, k=1)
+    e_var, coeffs = float(vals_s[0]), vecs_s[:, 0]
+
+    blk = SelectedCIExpander(h)
+    blk._pt2_row_cap = 128                # S_blk = 64 -> 2 blocks
+    corr_b = blk.pt2_correction(sub, coeffs, e_var)
+    assert corr_b["exact"]
+
+    host = SelectedCIExpander(h)
+    host._pt2_row_cap = 0                 # force the host-f64 path
+    corr_h = host.pt2_correction(sub, coeffs, e_var)
+    assert corr_h["exact"]
+    assert corr_b["de2"] == pytest.approx(corr_h["de2"], rel=1e-3)
+    assert corr_b["corrected_energy"] <= e_var + 1e-12
+
+
 def test_incremental_projected_h_matches_full(lih):
     """Blockwise-grown sparse H == a fresh to_sparse build."""
     h = lih
