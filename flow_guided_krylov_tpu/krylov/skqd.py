@@ -549,16 +549,16 @@ class SampleBasedKrylovDiagonalization:
         from jax.sharding import NamedSharding, PartitionSpec as P
         nd = self.mesh.size
         pad = (-self.dim) % nd
-        diag, elems, tgt = self._ell
+        diag, elems_t, tgt_t = self._ell
         if pad:
             diag = jnp.pad(diag, (0, pad))
-            elems = jnp.pad(elems, ((0, pad), (0, 0)))
-            tgt = jnp.pad(tgt, ((0, pad), (0, 0)))
+            elems_t = jnp.pad(elems_t, ((0, 0), (0, pad)))
+            tgt_t = jnp.pad(tgt_t, ((0, 0), (0, pad)))
         rows1 = NamedSharding(self.mesh, P(("data", "basis")))
-        rows2 = NamedSharding(self.mesh, P(("data", "basis"), None))
+        rows2 = NamedSharding(self.mesh, P(None, ("data", "basis")))
         self._ell = (jax.device_put(diag, rows1),
-                     jax.device_put(elems, rows2),
-                     jax.device_put(tgt, rows2))
+                     jax.device_put(elems_t, rows2),
+                     jax.device_put(tgt_t, rows2))
         self._ell_pad = pad
 
     def _build_ell_device(self, states: np.ndarray):
@@ -584,26 +584,32 @@ class SampleBasedKrylovDiagonalization:
             hit = sorted_states[pos] == keys
             tgt = jnp.where(hit, order[pos], 0).astype(jnp.int32)
             el = jnp.where(hit.reshape(elems.shape), elems, 0.0)
+            # tables transposed per chunk: (C, M) tiles HBM at ~1x (the
+            # (M, C) layout pads C -> 128 lanes, 5.1x at C=25)
             return (diag_fn(packed2).astype(jnp.float32),
-                    el.astype(jnp.float32),
-                    tgt.reshape(elems.shape))
+                    el.astype(jnp.float32).T,
+                    tgt.reshape(elems.shape).T)
 
         chunk = 262_144
         parts = [build_chunk(jnp.asarray(states[i:i + chunk]))
                  for i in range(0, dim, chunk)]
-        return tuple(jnp.concatenate([p[j] for p in parts])
-                     for j in range(3))
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts], axis=1),
+                jnp.concatenate([p[2] for p in parts], axis=1))
 
     def _ell_structure(self):
-        """ELL (diag, elems, target_idx) for the fixed-degree subspace
-        matvec; rows mesh-sharded when a mesh is configured."""
+        """ELL (diag, elems_t, target_idx_t) for the fixed-degree subspace
+        matvec, tables in the (C, N) transposed layout (see
+        ``ops/pallas_spmv.py``); rows mesh-sharded when a mesh is
+        configured."""
         if self._ell is None:
             if self.is_molecular:
                 from ..utils.connection_table import build_connection_table
                 t = build_connection_table(self.h, max_entries=200_000_000)
                 if t is None:
                     return None
-                self._ell = (t.diag, t.elems, t.target_idx)
+                self._ell = (t.diag, jnp.transpose(t.elems),
+                             jnp.transpose(t.target_idx))
             elif (getattr(self.h, "pack_words", 1) == 1
                   and hasattr(self.h, "connections_device")):
                 self._ell = self._build_ell_device(self.subspace)
@@ -615,8 +621,8 @@ class SampleBasedKrylovDiagonalization:
                 tgt = self._order[pos].reshape(elems.shape)
                 self._ell = (jnp.asarray(self.h.diagonal_np(self.subspace),
                                          jnp.float32),
-                             jnp.asarray(elems, jnp.float32),
-                             jnp.asarray(tgt.astype(np.int32)))
+                             jnp.asarray(elems.T, jnp.float32),
+                             jnp.asarray(tgt.T.astype(np.int32)))
             self._shard_ell()
         return self._ell
 

@@ -247,7 +247,8 @@ def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
                              tgt: jnp.ndarray, m: int = 120,
                              v0: Optional[jnp.ndarray] = None
                              ) -> Tuple[float, jnp.ndarray]:
-    """Lowest eigenpair of an ELL-structured H on device.
+    """Lowest eigenpair of an ELL-structured H on device; ``elems`` and
+    ``tgt`` use the (C, N) transposed layout (see ``ops/pallas_spmv.py``).
 
     The large-sector route (VERDICT round 2 item 1): million-state
     conserved-S_z spin sectors are too big for dense H but their
