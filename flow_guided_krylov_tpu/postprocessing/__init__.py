@@ -1,5 +1,7 @@
-"""Postprocessing: diversity selection, eigensolvers, projected H, utils."""
+"""Postprocessing: diversity selection, eigensolvers, projected H, DMRG
+oracle, utils."""
 
+from .dmrg import dmrg_ground_state
 from .diversity_selection import (DiversityConfig, DiversitySelector,
                                   ExcitationBucketer, analyze_basis_diversity,
                                   compute_excitation_rank,
@@ -23,5 +25,5 @@ __all__ = [
     "ProjectedHamiltonianBuilder", "ProjectedHamiltonianConfig",
     "bitstring_to_int", "int_to_bitstring", "merge_measurements",
     "filter_by_probability", "basis_overlap", "ground_state_sparsity",
-    "merge_bases",
+    "merge_bases", "dmrg_ground_state",
 ]
