@@ -377,6 +377,11 @@ def run_large_spin_pipeline(model: str, n_spins: int, h_field: float,
     return res
 
 
+# largest enumerated sector the Lanczos + host-f64-refine oracle handles
+# on one chip + this host; beyond it the DMRG oracle takes over
+SECTOR_ORACLE_MAX_DIM = 12_000_000
+
+
 def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        iters: int = 100, per_iter: int = 4000,
                        max_basis: int = 300_000,
@@ -403,8 +408,25 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
     skqd = SampleBasedKrylovDiagonalization(
         ham, SKQDConfig(evolution="ell" if conserving else "auto"),
         initial_state=init)
+    oracle = None
     if skqd.subspace is not None:
-        e_exact = skqd.exact_subspace_energy()
+        if skqd.dim <= SECTOR_ORACLE_MAX_DIM:
+            e_exact = skqd.exact_subspace_energy()
+            oracle = "sector-lanczos+f64-refine"
+        else:
+            # beyond the device-Lanczos + host-CSR-refine capacity
+            # (Heisenberg-28: C(28,14) = 40.1M states) the MPS oracle
+            # takes over: methodologically independent, and for the open
+            # AFM chain Lieb-Mattis puts the GLOBAL ground state in the
+            # S_z = 0 sector — asserted via the measured magnetization
+            from flow_guided_krylov_tpu.postprocessing import \
+                dmrg_ground_state
+            e_exact, dinfo = dmrg_ground_state(ham, max_bond=256,
+                                               sweeps=12)
+            assert abs(dinfo["total_sz"]) < 1e-4, \
+                "DMRG ground state left the S_z=0 sector"
+            oracle = (f"dmrg(m={dinfo['max_bond']}, "
+                      f"trunc={dinfo['truncation_error']:.1e})")
     else:
         # non-conserving models (TFIM) span the full 2^n space; the
         # free-fermion / dense oracle still gives an exact error when
@@ -437,6 +459,8 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
     if e_exact is not None:
         res["exact_energy"] = e_exact
         res["error_mha"] = 1000 * (out["energy"] - e_exact)
+        if oracle is not None:
+            res["oracle"] = oracle
         if "pt2_corrected_energy" in res:
             res["corrected_error_mha"] = 1000 * (res["pt2_corrected_energy"]
                                                  - e_exact)

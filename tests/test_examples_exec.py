@@ -132,6 +132,24 @@ def test_lattice_sci_mode_heisenberg8():
     assert abs(out["corrected_error_mha"]) <= out["error_mha"] + 1e-9
 
 
+def test_lattice_sci_dmrg_oracle_path():
+    """Sectors above SECTOR_ORACLE_MAX_DIM switch to the independent
+    DMRG oracle (the Heisenberg-28 route); forcing the threshold to 0 on
+    a small chain must produce the same oracle-checked-error semantics,
+    with the oracle labelled and the error still near zero."""
+    val = load_example("skqd_lattice_validation")
+    old = val.SECTOR_ORACLE_MAX_DIM
+    val.SECTOR_ORACLE_MAX_DIM = 0
+    try:
+        out = val.run_large_spin_sci("heisenberg", 8, 0.1,
+                                     iters=12, per_iter=10)
+    finally:
+        val.SECTOR_ORACLE_MAX_DIM = old
+    assert out["oracle"].startswith("dmrg")
+    assert out["error_mha"] >= -1e-5                   # DMRG: variational
+    assert abs(out["error_mha"]) < 1.0                 # both near-exact
+
+
 def test_lattice_sci_mode_tfim_full_space():
     """--sci on a non-conserving model: full-2^n space with the
     free-fermion/dense oracle fallback."""
