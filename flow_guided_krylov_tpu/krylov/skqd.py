@@ -780,8 +780,11 @@ class SampleBasedKrylovDiagonalization:
                 try:
                     from ..postprocessing.eigensolver import \
                         lanczos_ground_state_ell
+                    from ..utils.memory import MemoryBudget
                     ell = self._build_ell_device(basis)
-                    _, v = lanczos_ground_state_ell(*ell, m=min(80, nb))
+                    m_fit = MemoryBudget.for_device().lanczos_ell_m(
+                        ell[0].shape[0], ell[1].shape[0], m_max=80)
+                    _, v = lanczos_ground_state_ell(*ell, m=min(m_fit, nb))
                     v0 = np.asarray(v, np.float64)
                     del ell
                 except Exception:
@@ -870,7 +873,11 @@ class SampleBasedKrylovDiagonalization:
             if ell is not None:
                 from ..postprocessing.eigensolver import \
                     lanczos_ground_state_ell
-                e_dev, v = lanczos_ground_state_ell(*ell, m=min(m, self.dim))
+                from ..utils.memory import MemoryBudget
+                m_fit = MemoryBudget.for_device().lanczos_ell_m(
+                    ell[0].shape[0], ell[1].shape[0], m_max=m)
+                e_dev, v = lanczos_ground_state_ell(
+                    *ell, m=min(m_fit, self.dim))
                 v0 = np.asarray(v, np.float64)[:self.dim]  # drop mesh padding
         except Exception as exc:  # noqa: BLE001 - device loss must not kill
             # the oracle: a crashed/restarted TPU worker (observed on the

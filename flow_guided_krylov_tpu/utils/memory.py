@@ -82,6 +82,21 @@ class MemoryBudget:
         dim = (self.total_bytes * 0.25 / (4 * max(n_copies, 1))) ** 0.5
         return int(max(4096, min(65536, dim)))
 
+    def lanczos_ell_m(self, n_states: int, n_connections: int,
+                      m_max: int = 120) -> int:
+        """Max Lanczos depth for the fully-reorthogonalized device ELL
+        eigensolver (``postprocessing/eigensolver.py``): the (m+1, N)
+        Krylov block is the dominant allocation next to the two (C, N)
+        tables (f32 + s32, ~1.3x sublane padding) and a few N-vector
+        temporaries.  Budget the block at 40% of memory minus the tables
+        — a 10.4M-state sector at m=120 (5 GB block) crashed the TPU
+        worker at runtime even though it compiled."""
+        tables = 2 * n_connections * n_states * 4 * 1.3
+        scratch = 8 * n_states * 4
+        block = self.total_bytes * 0.40 - tables - scratch
+        m = int(block / (max(n_states, 1) * 4)) - 1
+        return max(8, min(m_max, m))
+
     def pt2_score_rows(self, n_connections: int) -> int:
         """Max source rows per PT2 device-scoring call
         (``krylov/residual_expansion.py``): the call flattens
