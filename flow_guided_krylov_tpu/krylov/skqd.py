@@ -876,8 +876,10 @@ class SampleBasedKrylovDiagonalization:
                 from ..utils.memory import MemoryBudget
                 m_fit = MemoryBudget.for_device().lanczos_ell_m(
                     ell[0].shape[0], ell[1].shape[0], m_max=m)
+                # HBM-capped blocks recover depth through restarts
+                n_restart = max(1, -(-m // m_fit))
                 e_dev, v = lanczos_ground_state_ell(
-                    *ell, m=min(m_fit, self.dim))
+                    *ell, m=min(m_fit, self.dim), restarts=n_restart)
                 v0 = np.asarray(v, np.float64)[:self.dim]  # drop mesh padding
         except Exception as exc:  # noqa: BLE001 - device loss must not kill
             # the oracle: a crashed/restarted TPU worker (observed on the

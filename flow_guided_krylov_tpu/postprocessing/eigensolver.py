@@ -245,7 +245,8 @@ def _lanczos_ell_impl(diag: jnp.ndarray, elems: jnp.ndarray,
 
 def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
                              tgt: jnp.ndarray, m: int = 120,
-                             v0: Optional[jnp.ndarray] = None
+                             v0: Optional[jnp.ndarray] = None,
+                             restarts: int = 1, rtol: float = 1e-7
                              ) -> Tuple[float, jnp.ndarray]:
     """Lowest eigenpair of an ELL-structured H on device; ``elems`` and
     ``tgt`` use the (C, N) transposed layout (see ``ops/pallas_spmv.py``).
@@ -257,10 +258,22 @@ def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
     state in f32.  For oracle-grade f64 numbers, refine the returned
     vector on the host (e.g. ``scipy.sparse.linalg.eigsh(H, v0=...)``) —
     see ``SampleBasedKrylovDiagonalization.exact_subspace_energy``.
+
+    ``restarts``: when the (m+1, N) Krylov block is HBM-capped (see
+    ``MemoryBudget.lanczos_ell_m``), depth comes from restarting the
+    m-step solve seeded with the previous ground vector — the standard
+    thick-restart degenerate case for one wanted eigenpair.  Stops early
+    once a restart improves the energy by less than ``rtol``.
     """
     n = diag.shape[0]
     m = min(m, n)
     if v0 is None:
         v0 = jnp.ones((n,), jnp.float32)
     e, v = _lanczos_ell_impl(diag, elems, tgt, v0, m)
+    for _ in range(max(0, restarts - 1)):
+        e_new, v = _lanczos_ell_impl(diag, elems, tgt, v, m)
+        if abs(float(e_new) - float(e)) < rtol * max(1.0, abs(float(e))):
+            e = e_new
+            break
+        e = e_new
     return float(e), v

@@ -94,6 +94,13 @@ class MemoryBudget:
         tables = 2 * n_connections * n_states * 4 * 1.3
         scratch = 8 * n_states * 4
         block = self.total_bytes * 0.40 - tables - scratch
+        # measured on v5e (10.4M-state Heisenberg-26 sector): the worker
+        # survives a 1.04 GB block (m=24) and crashes at 1.7 GB (m=40)
+        # with ~10 GB of HBM nominally free — an apparent per-program
+        # limit, so the block is additionally clamped to 1 GiB.  Depth
+        # beyond the clamp comes from restarts (``lanczos_ground_state_ell
+        # (..., restarts=...)``), not a taller block.
+        block = min(block, 1 << 30)
         m = int(block / (max(n_states, 1) * 4)) - 1
         return max(8, min(m_max, m))
 
