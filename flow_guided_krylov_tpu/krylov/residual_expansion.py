@@ -528,16 +528,21 @@ class SelectedCIExpander:
         # full sort on top of the scoring footprint, so one block admits
         # only half the scoring row budget (a 2.5M-source Heisenberg-26
         # pass at the full budget crashed the TPU worker).  Larger bases
-        # are processed in fixed blocks; per-block partial couplings of a
-        # key merge exactly in the host's grouped sum, like the scoring
-        # path (``_pt2_topk_device``).  ``pad_to`` pins the compiled
-        # shape across a growth loop (each distinct block shape costs a
-        # fresh ~40 s axon remote compile).
-        S_blk = max(64, min(self._pt2_row_cap // 2,
-                            1 << (max(S, pad_to) - 1).bit_length()))
+        # are processed in fixed blocks; with a mesh, each block's source
+        # rows additionally shard over all devices via ``shard_map``.
+        # Per-block/per-shard partial couplings of a key merge exactly in
+        # the host's grouped sum, like the scoring path
+        # (``_pt2_topk_device``).  ``pad_to`` pins the compiled shape
+        # across a growth loop (each distinct block shape costs a fresh
+        # ~40 s axon remote compile).
+        mesh = self.mesh
+        n_dev = mesh.size if mesh is not None else 1
+        S_blk = max(64, n_dev, min(self._pt2_row_cap // 2,
+                                   1 << (max(S, pad_to) - 1).bit_length()))
+        S_blk += (-S_blk) % n_dev
         n_blocks = max(1, -(-S // S_blk))
         S_pad = n_blocks * S_blk
-        cap = int(min(cap, S_blk * C))
+        cap = int(min(cap, S_blk // n_dev * C))
         conn_fn = h.connections_device
 
         # sorted basis keys, padded to a stable power-of-two shape with a
@@ -555,8 +560,8 @@ class SelectedCIExpander:
 
         fn = self._pt2_corr_cache.get((S_blk, cap, B_pad))
         if fn is None:
-            @jax.jit
-            def fn(src, src_c, basis_keys):
+            def local_corr(src, src_c, basis_keys):
+                """One shard/block: accumulate, mark externals, top-cap."""
                 conn, elems = conn_fn(src)
                 contrib = (elems * src_c[:, None]).reshape(-1)
                 a = conn[..., 0].reshape(-1)
@@ -576,10 +581,30 @@ class SelectedCIExpander:
                                basis_keys.shape[0] - 1)
                 ext = basis_keys[pos] != key
                 score = jnp.where(first & ext, coupling * coupling, 0.0)
-                n_valid = jnp.sum((score > 0).astype(jnp.int32))
+                n_valid = jnp.sum((score > 0).astype(jnp.int32),
+                                  keepdims=True)
                 neg, key_s, coup_s = jax.lax.sort(
                     (-score, key, coupling), num_keys=1)
-                return (key_s[:cap], coup_s[:cap], -neg[:cap], n_valid)
+                return key_s[:cap], coup_s[:cap], -neg[:cap], n_valid
+
+            if mesh is not None and n_dev > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rows = P(("data", "basis"))
+                block = jax.shard_map(
+                    local_corr, mesh=mesh,
+                    in_specs=(P(("data", "basis"), None), rows, P(None)),
+                    out_specs=(rows, rows, rows, rows))
+
+                @jax.jit
+                def fn(src, src_c, basis_keys):
+                    src = jax.lax.with_sharding_constraint(
+                        src, NamedSharding(mesh, P(("data", "basis"),
+                                                   None)))
+                    src_c = jax.lax.with_sharding_constraint(
+                        src_c, NamedSharding(mesh, rows))
+                    return block(src, src_c, basis_keys)
+            else:
+                fn = jax.jit(local_corr)
 
             self._pt2_corr_cache.clear()     # one live shape is enough
             self._pt2_corr_cache[(S_blk, cap, B_pad)] = fn
@@ -598,16 +623,17 @@ class SelectedCIExpander:
             key_s, coup_s, score_s, n_valid = fn(
                 jnp.asarray(src[sl]),
                 jnp.asarray(src_c[sl], jnp.float32), bk_dev)
-            exact = exact and int(n_valid) <= cap
+            exact = exact and int(np.max(np.asarray(n_valid))) <= cap
             valid = np.asarray(score_s) > 0.0
             key_parts.append(np.asarray(key_s)[valid])
             coup_parts.append(np.asarray(coup_s, np.float64)[valid])
 
         keys = np.concatenate(key_parts)
         coupling = np.concatenate(coup_parts)
-        if n_blocks > 1:
-            # grouped sum of per-block partial couplings (exact: every
-            # block contributes at most one representative row per key)
+        if n_blocks * n_dev > 1:
+            # grouped sum of per-block/per-shard partial couplings
+            # (exact: every block and shard contributes at most one
+            # representative row per key)
             order = np.argsort(keys, kind="stable")
             keys, coupling = keys[order], coupling[order]
             firsts = np.flatnonzero(np.concatenate(

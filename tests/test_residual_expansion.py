@@ -214,6 +214,29 @@ def test_sharded_pt2_scoring_matches_single_device(lih):
         assert m_m[k] == pytest.approx(m_s[k], rel=5e-3, abs=1e-9)
 
 
+def test_sharded_pt2_correction_matches_host(lih):
+    """Mesh-sharded exact dE2 (per-shard accumulate + top-cap, host
+    grouped-sum merge) == the host-f64 single-pass sum."""
+    import jax
+    from flow_guided_krylov_tpu.parallel import make_mesh
+
+    h = lih
+    basis = h.enumerate_basis()
+    sub = basis[: len(basis) // 2]
+    vals, vecs = h.exact_ground_state(sub, k=1)
+    e_var, coeffs = float(vals[0]), vecs[:, 0]
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"), basis_parallel=2)
+    sharded = SelectedCIExpander(h, mesh=mesh)
+    corr_m = sharded.pt2_correction(sub, coeffs, e_var)
+    assert corr_m["exact"]
+
+    host = SelectedCIExpander(h)
+    host._pt2_row_cap = 0                 # force the host-f64 path
+    corr_h = host.pt2_correction(sub, coeffs, e_var)
+    assert corr_m["de2"] == pytest.approx(corr_h["de2"], rel=1e-3)
+
+
 def test_sharded_pt2_expansion_reaches_fci(lih):
     """End-to-end sharded iterative expansion lands on FCI like the
     single-device run (N2-class workload scaled to LiH for CI)."""
