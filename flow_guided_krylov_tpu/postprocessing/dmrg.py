@@ -150,10 +150,7 @@ def dmrg_ground_state(hamiltonian, max_bond: int = 256, sweeps: int = 12,
     ws = _build_mpo(hamiltonian)
     n = len(ws)
     if n < 3:
-        vals = hamiltonian.exact_gs() if hasattr(hamiltonian, "exact_gs") \
-            else None
-        raise ValueError("chain too short for DMRG; use the dense oracle"
-                         if vals is None else f"use dense oracle: {vals}")
+        raise ValueError("chain too short for DMRG; use the dense oracle")
 
     rng = np.random.default_rng(seed)
     # Neel-biased random product start (the AFM ground state's backbone);
