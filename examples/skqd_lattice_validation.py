@@ -87,6 +87,14 @@ def make_hamiltonian(model: str, n_spins: int, h_field: float):
     if model == "tfim":
         ham = TransverseFieldIsing(n_spins, V=1.0, h=h_field, periodic=True)
         init = np.array([0], np.uint32)                  # |0...0>
+    elif model == "heisenberg-hx":
+        # non-conserving chain: a uniform transverse field breaks S_z
+        # conservation, so the solvers face the FULL 2^n space (no
+        # sector restriction); oracle = DMRG (open chain, h_x supported)
+        ham = HeisenbergHamiltonian(n_spins, 1.0, 1.0, 1.0,
+                                    h_x=np.full(n_spins, h_field))
+        neel = sum(1 << i for i in range(0, n_spins, 2))
+        init = np.array([neel], np.uint32)
     else:
         # small h_z perturbation on site 0 breaks the ground degeneracy
         # (reference ``skqd_lattice_validation.py:296-316``)
@@ -428,14 +436,26 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
             oracle = (f"dmrg(m={dinfo['max_bond']}, "
                       f"trunc={dinfo['truncation_error']:.1e})")
     else:
-        # non-conserving models (TFIM) span the full 2^n space; the
+        # non-conserving models span the full 2^n space; the
         # free-fermion / dense oracle still gives an exact error when
-        # one is closed-form or small enough
-        from flow_guided_krylov_tpu.hamiltonians import TransverseFieldIsing
+        # one is closed-form or small enough, and open non-conserving
+        # Heisenberg chains (heisenberg-hx) get the DMRG oracle
+        from flow_guided_krylov_tpu.hamiltonians import (
+            HeisenbergHamiltonian, TransverseFieldIsing)
         closed_form = (isinstance(ham, TransverseFieldIsing)
                        and ham.L == 1 and ham.periodic)
-        e_exact = (exact_oracle(ham)
-                   if n_spins <= 14 or closed_form else None)
+        if n_spins <= 14 or closed_form:
+            e_exact = exact_oracle(ham)
+        elif (isinstance(ham, HeisenbergHamiltonian)
+              and not ham.periodic):
+            from flow_guided_krylov_tpu.postprocessing import \
+                dmrg_ground_state
+            e_exact, dinfo = dmrg_ground_state(ham, max_bond=256,
+                                               sweeps=12)
+            oracle = (f"dmrg(m={dinfo['max_bond']}, "
+                      f"trunc={dinfo['truncation_error']:.1e})")
+        else:
+            e_exact = None
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,
@@ -555,7 +575,7 @@ def main():
                         "as stage-3 depth overrides (post-tier)")
     # back-compat with the round-1 CLI
     p.add_argument("--model", dest="system_alias", default=None,
-                   choices=["tfim", "heisenberg"])
+                   choices=["tfim", "heisenberg", "heisenberg-hx"])
     args = p.parse_args()
     if args.scan:
         system = "convergence"

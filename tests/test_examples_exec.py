@@ -150,6 +150,17 @@ def test_lattice_sci_dmrg_oracle_path():
     assert abs(out["error_mha"]) < 1.0                 # both near-exact
 
 
+def test_lattice_sci_nonconserving_chain():
+    """`--model heisenberg-hx` (uniform transverse field, no S_z
+    conservation): SCI over the full 2^n space, oracle-checked."""
+    val = load_example("skqd_lattice_validation")
+    out = val.run_large_spin_sci("heisenberg-hx", 8, 0.3,
+                                 iters=12, per_iter=30)
+    assert out["sector_dim"] == 256                    # full 2^8
+    assert out["error_mha"] >= -1e-5
+    assert abs(out["error_mha"]) < 5.0
+
+
 def test_lattice_sci_mode_tfim_full_space():
     """--sci on a non-conserving model: full-2^n space with the
     free-fermion/dense oracle fallback."""
