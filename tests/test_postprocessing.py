@@ -92,6 +92,24 @@ def test_lanczos_ground_state_device():
     assert e == pytest.approx(exact, rel=1e-4, abs=1e-3)
 
 
+def test_restarted_ell_lanczos_recovers_depth():
+    """HBM-capped shallow blocks + restarts must reach what one deep
+    block reaches (the 10.4M-sector configuration, scaled to LiH)."""
+    from flow_guided_krylov_tpu.hamiltonians import create_lih_hamiltonian
+    from flow_guided_krylov_tpu.krylov import (
+        SKQDConfig, SampleBasedKrylovDiagonalization)
+    from flow_guided_krylov_tpu.postprocessing import eigensolver as es
+
+    h = create_lih_hamiltonian()
+    skqd = SampleBasedKrylovDiagonalization(h, SKQDConfig(evolution="ell"))
+    ell = skqd._ell_structure()
+    e_deep, _ = es.lanczos_ground_state_ell(*ell, m=80)
+    e_shallow, _ = es.lanczos_ground_state_ell(*ell, m=12, restarts=1)
+    e_restart, _ = es.lanczos_ground_state_ell(*ell, m=12, restarts=8)
+    assert e_restart < e_shallow - 1e-6        # restarts make progress
+    assert e_restart == pytest.approx(e_deep, abs=5e-4)
+
+
 def test_projected_hamiltonian_vs_pauli_apply():
     from flow_guided_krylov_tpu.hamiltonians.base import PauliString
     words = ["XZI", "IYY", "ZZZ", "XII"]
