@@ -488,6 +488,50 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
     return res
 
 
+def run_exact_fullspace(model: str, n_spins: int, h_field: float) -> dict:
+    """EXACT ground state of the full 2^n space on one chip — identity-ELL
+    device Lanczos + host f64 refine (`exact_fullspace_ground_state`),
+    cross-checked against an independent oracle (free-fermion for periodic
+    TFIM, MPS DMRG for open transverse-field Heisenberg chains).
+
+    This is the route that retires the sampled-basis error at n <= ~24
+    where no conserved sector exists: the TFIM-24 critical point, whose
+    dense ground state caps every subspace method (SKQD 236 mHa, deep SCI
+    60 mHa), is EXACTLY solvable on the device."""
+    from flow_guided_krylov_tpu.hamiltonians import (HeisenbergHamiltonian,
+                                                     TransverseFieldIsing)
+    from flow_guided_krylov_tpu.postprocessing import \
+        exact_fullspace_ground_state
+    ham, _ = make_hamiltonian(model, n_spins, h_field)
+    t0 = time.time()
+    out = exact_fullspace_ground_state(ham, verbose=True)
+    res = {"experiment": "exact-fullspace", "model": model,
+           "n_spins": n_spins, "h": h_field, "dim": out["dim"],
+           "energy": out["energy"], "wall_s": round(time.time() - t0, 1)}
+    for k in ("e_device", "e_rayleigh_f32vec", "lanczos_m", "restarts",
+              "wall_build_s", "wall_device_s", "wall_refine_s",
+              "refine_matvecs", "cached"):
+        if k in out:
+            res[k] = out[k]
+    # independent oracle cross-check
+    e_oracle, oracle = None, None
+    if isinstance(ham, TransverseFieldIsing) and ham.L == 1 and ham.periodic:
+        e_oracle, oracle = exact_oracle(ham), "free-fermion"
+    elif n_spins <= 14:
+        e_oracle, oracle = exact_oracle(ham), "dense"
+    elif isinstance(ham, HeisenbergHamiltonian) and not ham.periodic:
+        from flow_guided_krylov_tpu.postprocessing import dmrg_ground_state
+        e_oracle, dinfo = dmrg_ground_state(ham, max_bond=256, sweeps=12)
+        oracle = (f"dmrg(m={dinfo['max_bond']}, "
+                  f"trunc={dinfo['truncation_error']:.1e})")
+    if e_oracle is not None:
+        res["oracle"] = oracle
+        res["oracle_energy"] = e_oracle
+        res["error_mha"] = 1000 * (out["energy"] - e_oracle)
+    print(json.dumps(res))
+    return res
+
+
 def run_large_convergence_study(n_spins: int, h_field: float,
                                 points=None) -> list:
     """Convergence study at the large-spin frontier (VERDICT round 2
@@ -570,6 +614,11 @@ def main():
                    help="with --sci: external-row fetch cap for the exact "
                         "PT2 correction (0 = default 2^23; raise when "
                         "pt2_exact comes back False)")
+    p.add_argument("--exact-full", action="store_true",
+                   help="with --system large: EXACT full-2^n ground state "
+                        "on one chip (identity-ELL device Lanczos + host "
+                        "f64 refine), cross-checked vs the independent "
+                        "oracle")
     p.add_argument("--sci-depth", action="store_true",
                    help="with --pipeline: apply --sci-iters/--sci-per-iter "
                         "as stage-3 depth overrides (post-tier)")
@@ -599,7 +648,10 @@ def main():
         run_discovery_comparison(args.spins, args.h, args.krylov_dim,
                                  args.shots, args.epochs)
     if system == "large":
-        if args.sci:
+        if args.exact_full:
+            run_exact_fullspace(args.system_alias or "tfim",
+                                args.spins, args.h)
+        elif args.sci:
             run_large_spin_sci(args.system_alias or "heisenberg",
                                args.spins, args.h, iters=args.sci_iters,
                                per_iter=args.sci_per_iter,

@@ -36,6 +36,27 @@ def _spins(packed: np.ndarray, n: int) -> np.ndarray:
     return 2.0 * bits - 1.0
 
 
+def _flip1(v: np.ndarray, i: int, n: int) -> np.ndarray:
+    """``v`` reindexed with basis bit ``i`` flipped — one slab-swap copy
+    (pure SIMD memcpy; no index arrays touch the host's slow integer
+    paths)."""
+    return v.reshape(1 << (n - 1 - i), 2, 1 << i)[:, ::-1, :].reshape(-1)
+
+
+def _flip2_anti(v: np.ndarray, i: int, j: int, n: int) -> np.ndarray:
+    """``v`` reindexed with bits ``i < j`` both flipped, zeroed wherever
+    the OUTPUT configuration is aligned at (i, j).
+
+    This is exactly the XXZ flip-flop stencil: output x receives
+    v[x ^ mask] iff x (equivalently its source) is antiparallel on the
+    bond, and alignment is invariant under the double flip."""
+    a, b, c = 1 << (n - 1 - j), 1 << (j - 1 - i), 1 << i
+    w = v.reshape(a, 2, b, 2, c)[:, ::-1, :, ::-1, :].copy()
+    w[:, 0, :, 0, :] = 0.0
+    w[:, 1, :, 1, :] = 0.0
+    return w.reshape(-1)
+
+
 class _SpinBase(Hamiltonian):
     pack_words = 1
 
@@ -43,6 +64,42 @@ class _SpinBase(Hamiltonian):
         """Dense H over the full 2^n space (for n <= ~14; test oracle)."""
         states = np.arange(1 << self.n_sites, dtype=np.uint32)[:, None]
         return self.matrix_elements(states, states)
+
+    # -- host f64 full-space statevector application ---------------------
+    #
+    # An INDEPENDENT formulation of H (slab bit-flip reshapes, not the
+    # packed-connection kernels): the host-side refine/oracle route for
+    # full-2^n eigensolves where no enumerated subspace exists (see
+    # ``postprocessing.eigensolver.exact_fullspace_ground_state``).
+    # Tested against ``exact_dense`` at small n (tests/test_hamiltonians).
+
+    def full_diagonal_np(self) -> np.ndarray:
+        """f64 diagonal over the full 2^n space (chunked, cached)."""
+        cached = getattr(self, "_full_diag_np", None)
+        if cached is None:
+            dim = 1 << self.n_sites
+            out = np.empty(dim, np.float64)
+            step = 1 << 20
+            for s in range(0, dim, step):
+                states = np.arange(s, min(s + step, dim),
+                                   dtype=np.uint32)[:, None]
+                out[s:s + len(states)] = self.diagonal_np(states)
+            self._full_diag_np = cached = out
+        return cached
+
+    def apply_statevector_np(self, v: np.ndarray,
+                             diag: Optional[np.ndarray] = None) -> np.ndarray:
+        """H @ v over the full 2^n space, float64, on the host."""
+        n = self.n_sites
+        v = np.asarray(v, np.float64).reshape(-1)
+        if v.shape[0] != (1 << n):
+            raise ValueError(f"expected a full 2^{n} statevector")
+        out = (self.full_diagonal_np() if diag is None else diag) * v
+        self._apply_offdiag_np(v, out)
+        return out
+
+    def _apply_offdiag_np(self, v: np.ndarray, out: np.ndarray) -> None:
+        raise NotImplementedError
 
 
 class HeisenbergHamiltonian(_SpinBase):
@@ -125,6 +182,18 @@ class HeisenbergHamiltonian(_SpinBase):
         el = np.stack(elems, axis=1)
         return conn.astype(np.uint32), el
 
+    def _apply_offdiag_np(self, v: np.ndarray, out: np.ndarray) -> None:
+        n = self.n_sites
+        jxy = (self.Jx + self.Jy) / 4.0
+        if abs(jxy) > 1e-15:
+            for i, j in self.bonds:
+                lo, hi = (i, j) if i < j else (j, i)
+                out += jxy * _flip2_anti(v, lo, hi, n)
+        if self._has_x_field:
+            for i in range(n):
+                if abs(self.h_x[i]) > 1e-12:
+                    out += (self.h_x[i] / 2.0) * _flip1(v, i, n)
+
 
 class TransverseFieldIsing(_SpinBase):
     def __init__(self, num_spins: int, V: float = 1.0, h: float = 1.0,
@@ -164,6 +233,13 @@ class TransverseFieldIsing(_SpinBase):
         conn = np.stack(conns, axis=1)[..., None]
         el = np.full((B, self.n_sites), -self.h)
         return conn.astype(np.uint32), el
+
+    def _apply_offdiag_np(self, v: np.ndarray, out: np.ndarray) -> None:
+        n = self.n_sites
+        acc = _flip1(v, 0, n)
+        for i in range(1, n):
+            acc += _flip1(v, i, n)
+        out -= self.h * acc
 
 
 def create_heisenberg_hamiltonian(num_spins: int, Jx: float = 1.0,

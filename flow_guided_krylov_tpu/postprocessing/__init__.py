@@ -8,7 +8,8 @@ from .diversity_selection import (DiversityConfig, DiversitySelector,
                                   compute_hamming_distance_matrix,
                                   select_diverse_basis)
 from .eigensolver import (DavidsonSolver, adaptive_eigensolver,
-                          lanczos_ground_state, regularize_overlap_matrix,
+                          exact_fullspace_ground_state, lanczos_ground_state,
+                          regularize_overlap_matrix,
                           solve_generalized_eigenvalue)
 from .projected_hamiltonian import (ProjectedHamiltonianBuilder,
                                     ProjectedHamiltonianConfig)
@@ -22,6 +23,7 @@ __all__ = [
     "select_diverse_basis", "analyze_basis_diversity",
     "solve_generalized_eigenvalue", "regularize_overlap_matrix",
     "DavidsonSolver", "adaptive_eigensolver", "lanczos_ground_state",
+    "exact_fullspace_ground_state",
     "ProjectedHamiltonianBuilder", "ProjectedHamiltonianConfig",
     "bitstring_to_int", "int_to_bitstring", "merge_measurements",
     "filter_by_probability", "basis_overlap", "ground_state_sparsity",

@@ -277,3 +277,147 @@ def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
             break
         e = e_new
     return float(e), v
+
+
+# ---------------------------------------------------------------------------
+# Exact FULL-2^n spin-space ground state on one chip
+# ---------------------------------------------------------------------------
+
+def _fullspace_cache_path(ham):
+    """Disk-cache location for the full-space ground energy, keyed by the
+    Hamiltonian content (mirrors ``SKQD._oracle_cache_path``)."""
+    import hashlib
+    import os
+    from pathlib import Path
+    hsh = hashlib.sha1(b"fullspace")
+    hsh.update(type(ham).__name__.encode())
+    for attr in ("n_sites", "Jx", "Jy", "Jz", "V", "h", "L", "periodic"):
+        hsh.update(repr(getattr(ham, attr, None)).encode())
+    for attr in ("h_x", "h_y", "h_z"):
+        val = getattr(ham, attr, None)
+        if val is not None:
+            hsh.update(np.asarray(val, np.float64).tobytes())
+    root = Path(os.environ.get(
+        "FGK_INTEGRAL_CACHE",
+        Path.home() / ".cache" / "fgk_tpu_integrals"))
+    return root / f"fullspace_{hsh.hexdigest()}.txt"
+
+
+def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
+                                 tol: float = 1e-9, verbose: bool = True,
+                                 use_cache: bool = True) -> dict:
+    """Exact ground state of the FULL 2^n spin Hilbert space on one chip.
+
+    The route that makes "exact" reachable where no conserved sector
+    shrinks the space (TFIM at any field, transverse-field Heisenberg):
+
+    1. **Identity-basis ELL build** — over the full space every XOR flip
+       lands back in the space, so the connection key IS the target row:
+       no sort and no ``searchsorted`` (whose 2^24-key program takes
+       minutes to compile on this toolchain).  The (C, N) tables are
+       assembled host-side from the vectorized ``connections_np`` kernels
+       in chunks and land in HBM once (2^24 sites at C=24 -> 3.2 GB).
+    2. **Restarted f32 device Lanczos** (``lanczos_ground_state_ell``)
+       under the HBM Krylov-block budget (``MemoryBudget.lanczos_ell_m``).
+    3. **Host f64 refine** — seeded ``eigsh`` over the model's
+       slab-reshape statevector matvec
+       (``hamiltonians.spin.apply_statevector_np``), a formulation
+       independent of the packed-connection kernels, so the refined
+       energy doubles as a cross-check of the device Hamiltonian.
+
+    Reference counterpart: none — the reference caps exact lattice truth
+    at dense ``exact_ground_state`` (~2^14); this extends it to 2^24+ by
+    construction (``/root/reference/src/hamiltonians/spin.py:311-344``).
+    """
+    import time
+
+    from ..utils.memory import MemoryBudget, device_memory_bytes
+
+    n = int(ham.n_sites)
+    dim = 1 << n
+    C = int(ham.n_connections)
+    c_pad = -(-C // 8) * 8                     # (C, N) sublane padding
+    tables_bytes = 2 * c_pad * dim * 4 + dim * 4
+    hbm = device_memory_bytes()
+    if tables_bytes + (1 << 30) + 10 * dim * 4 > 0.85 * hbm:
+        raise MemoryError(
+            f"full 2^{n} ELL tables ({tables_bytes / 2**30:.1f} GiB at "
+            f"C={C}) exceed the HBM budget ({hbm / 2**30:.0f} GiB)")
+
+    path = _fullspace_cache_path(ham)
+    if use_cache and refine_host:
+        try:
+            e = float(path.read_text())
+            return {"energy": e, "dim": dim, "cached": True}
+        except (OSError, ValueError):
+            pass
+
+    # -- 1. identity-basis ELL tables (host assembly, one transfer) ------
+    t0 = time.time()
+    elems_t = np.empty((C, dim), np.float32)
+    tgt_t = np.empty((C, dim), np.int32)
+    chunk = 1 << 19
+    for s in range(0, dim, chunk):
+        states = np.arange(s, min(s + chunk, dim), dtype=np.uint32)[:, None]
+        conn, el = ham.connections_np(states)           # (B, C, 1), (B, C)
+        elems_t[:, s:s + len(states)] = el.T
+        tgt_t[:, s:s + len(states)] = conn[..., 0].T
+    diag_np = ham.full_diagonal_np()
+    diag = jnp.asarray(diag_np.astype(np.float32))
+    elems = jnp.asarray(elems_t)
+    tgt = jnp.asarray(tgt_t)
+    del elems_t, tgt_t
+    wall_build = time.time() - t0
+
+    # -- 2. restarted device Lanczos (f32) --------------------------------
+    t0 = time.time()
+    m_fit = MemoryBudget.for_device().lanczos_ell_m(dim, C, m_max=m)
+    restarts = max(1, -(-m // m_fit))
+    rng = np.random.default_rng(7)
+    v0 = jnp.asarray(rng.standard_normal(dim).astype(np.float32))
+    e_dev, v = lanczos_ground_state_ell(diag, elems, tgt, m=min(m_fit, dim),
+                                        v0=v0, restarts=restarts)
+    v_host = np.asarray(v, np.float64)
+    del v, diag, elems, tgt
+    wall_device = time.time() - t0
+    if verbose:
+        print(f"  [fullspace] device Lanczos E={e_dev:.8f} "
+              f"(m={m_fit} x {restarts} restarts, {wall_device:.1f} s; "
+              f"build {wall_build:.1f} s)")
+
+    out = {"e_device": float(e_dev), "dim": dim, "n_connections": C,
+           "lanczos_m": m_fit, "restarts": restarts,
+           "wall_build_s": round(wall_build, 1),
+           "wall_device_s": round(wall_device, 1), "cached": False}
+    if not refine_host:
+        out["energy"] = float(e_dev)
+        return out
+
+    # -- 3. host f64 seeded refine over the slab statevector matvec ------
+    t0 = time.time()
+    nmv = [0]
+
+    def mv(x):
+        nmv[0] += 1
+        return ham.apply_statevector_np(x, diag=diag_np)
+
+    v_host /= np.linalg.norm(v_host)
+    e_rq = float(v_host @ mv(v_host))
+    op = spla.LinearOperator((dim, dim), matvec=mv, dtype=np.float64)
+    vals = spla.eigsh(op, k=1, which="SA", v0=v_host, tol=tol, ncv=10,
+                      return_eigenvectors=False)
+    e = float(vals.min())
+    wall_refine = time.time() - t0
+    if verbose:
+        print(f"  [fullspace] host f64 refine E={e:.10f} "
+              f"(RQ of the f32 vector: {e_rq:.10f}; {nmv[0]} matvecs, "
+              f"{wall_refine:.1f} s)")
+    out.update(energy=e, e_rayleigh_f32vec=e_rq,
+               refine_matvecs=nmv[0], wall_refine_s=round(wall_refine, 1))
+    if use_cache:
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(repr(e))
+        except OSError:
+            pass
+    return out

@@ -304,3 +304,58 @@ def test_exact_subspace_energy_survives_device_loss(tmp_path, monkeypatch):
         lambda: (_ for _ in ()).throw(RuntimeError("TPU worker crashed")))
     with pytest.raises(RuntimeError):
         skqd2.exact_subspace_energy(refine_host=False)
+
+
+# ---------------------------------------------------------------------------
+# Host f64 statevector matvec + full-space exact ground state
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ham", [
+    TransverseFieldIsing(8, V=1.0, h=1.0),
+    TransverseFieldIsing(7, V=0.5, h=1.3, L=2, periodic=True),
+    HeisenbergHamiltonian(8, 1.0, 1.0, 0.8,
+                          h_x=0.3 * np.ones(8), h_z=0.1 * np.ones(8)),
+    HeisenbergHamiltonian(7, 1.0, 1.0, 1.0, periodic=True),
+    HeisenbergHamiltonian(6, 1.0, 1.0, 1.0,
+                          h_z=0.1 * np.ones(6)),
+])
+def test_apply_statevector_matches_dense(ham):
+    """The slab-reshape host matvec IS the Hamiltonian: H @ v must match
+    the dense matrix-elements formulation on random vectors."""
+    H = ham.exact_dense()
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        v = rng.standard_normal(H.shape[0])
+        np.testing.assert_allclose(ham.apply_statevector_np(v), H @ v,
+                                   rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("ham", [
+    TransverseFieldIsing(10, V=1.0, h=1.0),
+    HeisenbergHamiltonian(9, 1.0, 1.0, 1.0,
+                          h_x=0.3 * np.ones(9), h_z=0.1 * np.ones(9)),
+])
+def test_exact_fullspace_ground_state(ham, tmp_path, monkeypatch):
+    """Device identity-ELL Lanczos + host f64 refine lands on the dense
+    eigenvalue over the full 2^n space (no conserved sector)."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    from flow_guided_krylov_tpu.postprocessing import \
+        exact_fullspace_ground_state
+    e_ref = float(np.linalg.eigvalsh(ham.exact_dense())[0])
+    res = exact_fullspace_ground_state(ham, m=60, verbose=False)
+    assert not res["cached"]
+    assert abs(res["energy"] - e_ref) < 1e-8
+    # the f32 device stage alone is already close
+    assert abs(res["e_device"] - e_ref) < 1e-3
+    # second call hits the disk cache
+    res2 = exact_fullspace_ground_state(ham, m=60, verbose=False)
+    assert res2["cached"] and abs(res2["energy"] - e_ref) < 1e-8
+
+
+def test_exact_fullspace_hbm_gate():
+    """Spaces whose ELL tables exceed the HBM budget are refused."""
+    from flow_guided_krylov_tpu.postprocessing import \
+        exact_fullspace_ground_state
+    ham = TransverseFieldIsing(30, V=1.0, h=1.0)
+    with pytest.raises(MemoryError):
+        exact_fullspace_ground_state(ham, refine_host=False, use_cache=False)
