@@ -107,22 +107,34 @@ class SelectedCIExpander:
         self.mesh = mesh
         # fingerprint -> (energy, coeffs) for the last two bases seen
         self._diag_cache: Dict[bytes, Tuple[float, np.ndarray]] = {}
-        # incremental projected-H cache (basis keys in order, symmetric CSR)
+        # incremental projected-H cache: consolidated prefix CSR + pending
+        # per-round staircase blocks [(row_offset, B, B.T, D), ...]
         self._inc_keys: Optional[np.ndarray] = None
         self._inc_H = None
+        self._pend: list = []
         self._pt2_fn_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_corr_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_row_cap: Optional[int] = None
         # cumulative wall per phase (diag = host eigensolve incl. the
         # incremental CSR growth; score = PT2 candidate scoring) — the
         # stage-3 time split, printed by iterative_residual_expansion
-        self.timings: Dict[str, float] = {"diag": 0.0, "score": 0.0}
+        self.timings: Dict[str, float] = {"diag": 0.0, "score": 0.0,
+                                          "diag_build": 0.0}
 
     # ------------------------------------------------------------------
 
     def _projected_sparse(self, basis: np.ndarray, keys: np.ndarray):
-        """Symmetric sparse H over ``basis``, grown blockwise when the
-        previous basis is a prefix (the iterative-expansion invariant)."""
+        """Symmetric H over ``basis`` as a matvec operator, grown blockwise
+        when the previous basis is a prefix (the iterative-expansion
+        invariant).
+
+        Round 3 rewrite: the old path re-assembled the FULL CSR every
+        round (``sp.bmat`` copies every stored nonzero), an O(nnz) memcpy
+        per round that turned deep million-state runs quadratic.  Now each
+        round only builds its OWN (B, D) staircase blocks; the eigensolve
+        sees a LinearOperator whose matvec streams the consolidated prefix
+        CSR plus the pending blocks (identical action, same f64 dtype),
+        and blocks consolidate into the prefix only every ~16 rounds."""
         import scipy.sparse as sp
 
         n = len(basis)
@@ -141,25 +153,80 @@ class SelectedCIExpander:
                     rows = np.repeat(np.arange(n_new), conn.shape[1])[hit]
                     cols = order[pos[hit]]
                     vals = elems.reshape(-1)[hit]
-                    R = sp.coo_matrix((vals, (rows, cols)),
-                                      shape=(n_new, n)).tocsr()
-                    D = R[:, m:]
-                    D = 0.5 * (D + D.T) + sp.diags(self.h.diagonal_np(new))
-                    Bl = R[:, :m]
-                    self._inc_H = sp.bmat([[self._inc_H, Bl.T], [Bl, D]],
-                                          format="csr")
+                    old = cols < m
+                    B = sp.coo_matrix((vals[old], (rows[old], cols[old])),
+                                      shape=(n_new, m)).tocsr()
+                    D = sp.coo_matrix(
+                        (vals[~old], (rows[~old], cols[~old] - m)),
+                        shape=(n_new, n_new))
+                    D = (0.5 * (D + D.T)
+                         + sp.diags(self.h.diagonal_np(new))).tocsr()
+                    self._pend.append((m, B, B.T.tocsr(), D))
                     self._inc_keys = keys.copy()
-                return self._inc_H
+                    if len(self._pend) >= 16:
+                        self._consolidate()
+                return self._operator()
             if n < m and np.array_equal(keys, self._inc_keys[:n]):
                 # variational rejection reverted the basis: restrict
+                self._consolidate()
                 self._inc_H = self._inc_H[:n, :n].tocsr()
                 self._inc_keys = keys.copy()
                 return self._inc_H
 
         M = self.h.to_sparse(basis)
         self._inc_H = ((M + M.T) * 0.5).tocsr()
+        self._pend = []
         self._inc_keys = keys.copy()
         return self._inc_H
+
+    def _consolidate(self) -> None:
+        """Fold the pending staircase blocks into the prefix CSR (one
+        O(nnz) pass, amortized over ~16 rounds)."""
+        if not self._pend:
+            return
+        import scipy.sparse as sp
+        h0 = self._inc_H.tocoo()
+        rs, cs, vs = [h0.row], [h0.col], [h0.data]
+        n = self._inc_H.shape[0]
+        for a, B, _, D in self._pend:
+            nb = D.shape[0]
+            b = B.tocoo()
+            rs += [a + b.row, b.col]
+            cs += [b.col, a + b.row]
+            vs += [b.data, b.data]
+            d = D.tocoo()
+            rs.append(a + d.row)
+            cs.append(a + d.col)
+            vs.append(d.data)
+            n = max(n, a + nb)
+        self._inc_H = sp.coo_matrix(
+            (np.concatenate(vs),
+             (np.concatenate(rs), np.concatenate(cs))),
+            shape=(n, n)).tocsr()
+        self._pend = []
+
+    def _operator(self):
+        """The current projected H: the prefix CSR when nothing is
+        pending, else a LinearOperator streaming prefix + blocks."""
+        if not self._pend:
+            return self._inc_H
+        import scipy.sparse.linalg as spla
+        H0 = self._inc_H
+        m0 = H0.shape[0]
+        pend = list(self._pend)
+        n = pend[-1][0] + pend[-1][3].shape[0]
+
+        def mv(x):
+            x = np.asarray(x, np.float64).reshape(-1)
+            y = np.zeros(n, np.float64)
+            y[:m0] = H0 @ x[:m0]
+            for a, B, BT, D in pend:
+                nb = D.shape[0]
+                y[a:a + nb] += B @ x[:a] + D @ x[a:a + nb]
+                y[:a] += BT @ x[a:a + nb]
+            return y
+
+        return spla.LinearOperator((n, n), matvec=mv, dtype=np.float64)
 
     def _diagonalize(self, basis: np.ndarray) -> Tuple[float, np.ndarray]:
         """Ground state of H projected on basis (host f64; reference
@@ -188,7 +255,9 @@ class SelectedCIExpander:
 
         if len(basis) > 2048:
             import scipy.sparse.linalg as spla
+            tb = time.perf_counter()
             M = self._projected_sparse(basis, keys)
+            self.timings["diag_build"] += time.perf_counter() - tb
             if v0 is not None:
                 # warm rounds: k=1 at a loose residual tol is ~4x cheaper
                 # than k=2 at machine tol; Ritz values converge from above
@@ -764,7 +833,8 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
             stall = 0
     if verbose and use_pt2:
         t = expander.timings
-        print(f"  [sci timings] diag {t['diag']:.1f} s, "
+        print(f"  [sci timings] diag {t['diag']:.1f} s "
+              f"(H-build {t.get('diag_build', 0.0):.1f} s), "
               f"pt2-score {t['score']:.1f} s")
     res = {"basis": best_basis, "energy": best_energy,
            "energies": energies, "n_iterations": len(energies)}

@@ -374,21 +374,34 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
     m_fit = MemoryBudget.for_device().lanczos_ell_m(dim, C, m_max=m)
     restarts = max(1, -(-m // m_fit))
     rng = np.random.default_rng(7)
-    v0 = jnp.asarray(rng.standard_normal(dim).astype(np.float32))
-    e_dev, v = lanczos_ground_state_ell(diag, elems, tgt, m=min(m_fit, dim),
-                                        v0=v0, restarts=restarts)
-    v_host = np.asarray(v, np.float64)
-    del v, diag, elems, tgt
+    try:
+        v0 = jnp.asarray(rng.standard_normal(dim).astype(np.float32))
+        e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
+                                            m=min(m_fit, dim),
+                                            v0=v0, restarts=restarts)
+        v_host = np.asarray(v, np.float64)
+        del v
+    except Exception as exc:  # noqa: BLE001 - device loss must not kill
+        # the solve (the frontier block sizes sit near the observed TPU
+        # worker per-program limit): fall back to an unseeded host refine
+        if not refine_host:
+            raise
+        print(f"  [fullspace] device Lanczos unavailable ({exc!r}); "
+              "host refine runs unseeded")
+        e_dev, v_host = None, None
+    del diag, elems, tgt
     wall_device = time.time() - t0
-    if verbose:
+    if verbose and e_dev is not None:
         print(f"  [fullspace] device Lanczos E={e_dev:.8f} "
               f"(m={m_fit} x {restarts} restarts, {wall_device:.1f} s; "
               f"build {wall_build:.1f} s)")
 
-    out = {"e_device": float(e_dev), "dim": dim, "n_connections": C,
+    out = {"dim": dim, "n_connections": C,
            "lanczos_m": m_fit, "restarts": restarts,
            "wall_build_s": round(wall_build, 1),
            "wall_device_s": round(wall_device, 1), "cached": False}
+    if e_dev is not None:
+        out["e_device"] = float(e_dev)
     if not refine_host:
         out["energy"] = float(e_dev)
         return out
@@ -401,18 +414,19 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         nmv[0] += 1
         return ham.apply_statevector_np(x, diag=diag_np)
 
-    v_host /= np.linalg.norm(v_host)
-    e_rq = float(v_host @ mv(v_host))
     op = spla.LinearOperator((dim, dim), matvec=mv, dtype=np.float64)
+    if v_host is not None:
+        v_host /= np.linalg.norm(v_host)
+        e_rq = float(v_host @ mv(v_host))
+        out["e_rayleigh_f32vec"] = e_rq
     vals = spla.eigsh(op, k=1, which="SA", v0=v_host, tol=tol, ncv=10,
                       return_eigenvectors=False)
     e = float(vals.min())
     wall_refine = time.time() - t0
     if verbose:
         print(f"  [fullspace] host f64 refine E={e:.10f} "
-              f"(RQ of the f32 vector: {e_rq:.10f}; {nmv[0]} matvecs, "
-              f"{wall_refine:.1f} s)")
-    out.update(energy=e, e_rayleigh_f32vec=e_rq,
+              f"({nmv[0]} matvecs, {wall_refine:.1f} s)")
+    out.update(energy=e,
                refine_matvecs=nmv[0], wall_refine_s=round(wall_refine, 1))
     if use_cache:
         try:

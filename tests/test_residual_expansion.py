@@ -129,8 +129,16 @@ def test_pt2_correction_blocked_matches_host(lih):
     assert corr_b["corrected_energy"] <= e_var + 1e-12
 
 
+def _dense_of(H, n):
+    """Materialize a CSR or LinearOperator projected H."""
+    if hasattr(H, "toarray"):
+        return H.toarray()
+    return H @ np.eye(n)
+
+
 def test_incremental_projected_h_matches_full(lih):
-    """Blockwise-grown sparse H == a fresh to_sparse build."""
+    """Blockwise-grown projected H (prefix CSR + pending staircase blocks,
+    exposed as a matvec operator) == a fresh to_sparse build."""
     h = lih
     full = h.enumerate_basis()
     b1, b2, b3 = full[:120], full[:180], full[:225]
@@ -138,12 +146,19 @@ def test_incremental_projected_h_matches_full(lih):
     exp = SelectedCIExpander(h)
     H1 = exp._projected_sparse(b1, h.keys(b1))
     H2 = exp._projected_sparse(b2, h.keys(b2))   # prefix extension
-    H3 = exp._projected_sparse(b3, h.keys(b3))
+    d2 = _dense_of(H2, len(b2))                  # materialize BEFORE the
+    H3 = exp._projected_sparse(b3, h.keys(b3))   # next growth step
 
-    for basis, H in ((b2, H2), (b3, H3)):
+    for basis, H in ((b2, d2), (b3, _dense_of(H3, len(b3)))):
         ref = h.to_sparse(basis)
         ref = ((ref + ref.T) * 0.5).toarray()
-        np.testing.assert_allclose(H.toarray(), ref, atol=1e-12)
+        np.testing.assert_allclose(H, ref, atol=1e-12)
+
+    # consolidation folds the pending blocks without changing the action
+    exp._consolidate()
+    ref = h.to_sparse(b3)
+    np.testing.assert_allclose(exp._inc_H.toarray(),
+                               ((ref + ref.T) * 0.5).toarray(), atol=1e-12)
 
     # restriction (variational rejection revert)
     H1b = exp._projected_sparse(b1, h.keys(b1))

@@ -359,3 +359,21 @@ def test_exact_fullspace_hbm_gate():
     ham = TransverseFieldIsing(30, V=1.0, h=1.0)
     with pytest.raises(MemoryError):
         exact_fullspace_ground_state(ham, refine_host=False, use_cache=False)
+
+
+def test_exact_fullspace_survives_device_loss(tmp_path, monkeypatch):
+    """A crashed TPU worker degrades the full-space solve to an unseeded
+    host refine instead of killing it."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    from flow_guided_krylov_tpu.postprocessing import eigensolver as es
+    ham = TransverseFieldIsing(9, V=1.0, h=1.0)
+    e_ref = float(np.linalg.eigvalsh(ham.exact_dense())[0])
+
+    def boom(*a, **k):
+        raise RuntimeError("worker died")
+
+    monkeypatch.setattr(es, "lanczos_ground_state_ell", boom)
+    res = es.exact_fullspace_ground_state(ham, verbose=False,
+                                          use_cache=False)
+    assert "e_device" not in res
+    assert abs(res["energy"] - e_ref) < 1e-8
