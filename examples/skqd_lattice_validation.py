@@ -455,7 +455,16 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
             oracle = (f"dmrg(m={dinfo['max_bond']}, "
                       f"trunc={dinfo['truncation_error']:.1e})")
         else:
-            e_exact = None
+            # any other non-conserving spin model: the full-space exact
+            # ED (identity-ELL device Lanczos + slab f64 refine) is the
+            # oracle up to the HBM gate (~2^24 at nearest-neighbour C)
+            try:
+                from flow_guided_krylov_tpu.postprocessing import \
+                    exact_fullspace_ground_state
+                e_exact = exact_fullspace_ground_state(ham)["energy"]
+                oracle = "fullspace-lanczos+slab-refine"
+            except MemoryError:
+                e_exact = None
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,

@@ -419,7 +419,12 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         v_host /= np.linalg.norm(v_host)
         e_rq = float(v_host @ mv(v_host))
         out["e_rayleigh_f32vec"] = e_rq
-    vals = spla.eigsh(op, k=1, which="SA", v0=v_host, tol=tol, ncv=10,
+    # seeded: a near-converged v0 needs only a thin restart basis.
+    # unseeded (device-loss fallback): ncv=10 implicit restarts crawl at
+    # 10M+ dims — a wider basis trades host RAM (ncv * 8 B/state) for
+    # far fewer matvec sweeps
+    vals = spla.eigsh(op, k=1, which="SA", v0=v_host, tol=tol,
+                      ncv=10 if v_host is not None else 40,
                       return_eigenvectors=False)
     e = float(vals.min())
     wall_refine = time.time() - t0

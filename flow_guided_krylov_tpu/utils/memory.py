@@ -97,12 +97,15 @@ class MemoryBudget:
         # measured on v5e (10.4M-state Heisenberg-26 sector): the worker
         # survives a 1.04 GB block (m=24) and crashes at 1.7 GB (m=40)
         # with ~10 GB of HBM nominally free — an apparent per-program
-        # limit, so the block is additionally clamped to 1 GiB.  Depth
-        # beyond the clamp comes from restarts (``lanczos_ground_state_ell
-        # (..., restarts=...)``), not a taller block.
-        block = min(block, 1 << 30)
+        # limit, so the block is additionally clamped to 1 GB (decimal:
+        # the measured-safe size).  Depth beyond the clamp comes from
+        # restarts (``lanczos_ground_state_ell(..., restarts=...)``),
+        # not a taller block.  The floor is 4, not 8: at 33.5M states
+        # (full 2^25 TFIM) an m=8 block is 1.21 GB and crashed the
+        # worker — shallow restarted blocks converge anyway.
+        block = min(block, 1_000_000_000)
         m = int(block / (max(n_states, 1) * 4)) - 1
-        return max(8, min(m_max, m))
+        return max(4, min(m_max, m))
 
     def pt2_score_rows(self, n_connections: int) -> int:
         """Max source rows per PT2 device-scoring call
