@@ -283,6 +283,106 @@ def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
 # Exact FULL-2^n spin-space ground state on one chip
 # ---------------------------------------------------------------------------
 
+def lanczos_ground_state_ell_streamed(diag, elems, tgt, m: int = 40,
+                                      v0: Optional[np.ndarray] = None,
+                                      restarts: int = 1, rtol: float = 1e-7
+                                      ) -> Tuple[float, np.ndarray]:
+    """Host-block Lanczos over a device ELL matvec.
+
+    The Krylov block and the (full) reorthogonalization live in host RAM;
+    the device program is ONE matvec.  This is the route for spaces where
+    the fused device Lanczos crashes the TPU worker — observed at 2^25
+    (33.5M states): the lone ELL matvec runs in 0.6 s while the fused
+    m=4 Lanczos program (671 MB block, well under the measured 1 GB
+    limit) kills the worker.  Cost: two ~4 B/state transfers per step
+    over the tunnel; RAM: (m+1) f32 N-vectors (host RAM is ~8x HBM
+    here).  f32 quality — refine on the host for oracle-grade numbers.
+    """
+    from ..ops.pallas_spmv import ell_spmv_reference
+
+    mv_dev = jax.jit(ell_spmv_reference)
+    N = int(diag.shape[0])
+    m = min(m, N)
+
+    def matvec(x32):
+        # np.array, not asarray: device arrays view as read-only buffers
+        return np.array(mv_dev(diag, elems, tgt, jnp.asarray(x32)))
+
+    rng = np.random.default_rng(11)
+    v = (np.array(v0, np.float32) if v0 is not None
+         else rng.standard_normal(N).astype(np.float32))
+    e_prev = None
+    for _ in range(max(1, restarts)):
+        v /= np.linalg.norm(v)
+        V = np.empty((m + 1, N), np.float32)
+        V[0] = v
+        alphas = np.zeros(m)
+        betas = np.zeros(m)
+        k = m
+        for j in range(m):
+            w = matvec(V[j])
+            alphas[j] = float(V[j] @ w)
+            w -= np.float32(alphas[j]) * V[j]
+            if j:
+                w -= np.float32(betas[j - 1]) * V[j - 1]
+            w -= V[:j + 1].T @ (V[:j + 1] @ w)    # full reorthogonalization
+            b = float(np.linalg.norm(w))
+            betas[j] = b
+            if b < 1e-6:
+                k = j + 1
+                break
+            V[j + 1] = w / np.float32(b)
+        T = (np.diag(alphas[:k]) + np.diag(betas[:k - 1], 1)
+             + np.diag(betas[:k - 1], -1))
+        vals, vecs = np.linalg.eigh(T)
+        e = float(vals[0])
+        v = (vecs[:, 0].astype(np.float32) @ V[:k])
+        if e_prev is not None and abs(e - e_prev) < rtol * max(1.0, abs(e)):
+            e_prev = e
+            break
+        e_prev = e
+    return e_prev, v / np.linalg.norm(v)
+
+
+def _build_fullspace_ell_device(ham):
+    """Identity-basis (C, N) ELL tables for the FULL 2^n space, built
+    entirely ON DEVICE: states are iota, the connection key IS the target
+    row (every XOR flip lands back in the space), and functional
+    preallocation (fori_loop + dynamic_update_slice) keeps the peak at
+    final size.  Nothing crosses the host link — the 2^25 build takes
+    ~1 s where host assembly + transfer took ~220 s at 2^24."""
+    n = int(ham.n_sites)
+    N = 1 << n
+    C = int(ham.n_connections)
+    conn_fn = ham.connections_device
+    diag_fn = ham.diagonal_device
+    chunk = min(1 << 19, N)
+
+    @jax.jit
+    def build():
+        d = jnp.zeros((N,), jnp.float32)
+        e = jnp.zeros((C, N), jnp.float32)
+        t = jnp.zeros((C, N), jnp.int32)
+
+        def body(i, carry):
+            d, e, t = carry
+            start = i * chunk
+            idx = (jnp.uint32(start)
+                   + jnp.arange(chunk, dtype=jnp.uint32))[:, None]
+            conn, el = conn_fn(idx)               # (B, C, 1), (B, C)
+            d = jax.lax.dynamic_update_slice(
+                d, diag_fn(idx).astype(jnp.float32), (start,))
+            e = jax.lax.dynamic_update_slice(
+                e, el.astype(jnp.float32).T, (0, start))
+            t = jax.lax.dynamic_update_slice(
+                t, conn[..., 0].astype(jnp.int32).T, (0, start))
+            return d, e, t
+
+        return jax.lax.fori_loop(0, N // chunk, body, (d, e, t))
+
+    return build()
+
+
 def _fullspace_cache_path(ham):
     """Disk-cache location for the full-space ground energy, keyed by the
     Hamiltonian content (mirrors ``SKQD._oracle_cache_path``)."""
@@ -311,14 +411,17 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
     The route that makes "exact" reachable where no conserved sector
     shrinks the space (TFIM at any field, transverse-field Heisenberg):
 
-    1. **Identity-basis ELL build** — over the full space every XOR flip
-       lands back in the space, so the connection key IS the target row:
-       no sort and no ``searchsorted`` (whose 2^24-key program takes
-       minutes to compile on this toolchain).  The (C, N) tables are
-       assembled host-side from the vectorized ``connections_np`` kernels
-       in chunks and land in HBM once (2^24 sites at C=24 -> 3.2 GB).
-    2. **Restarted f32 device Lanczos** (``lanczos_ground_state_ell``)
-       under the HBM Krylov-block budget (``MemoryBudget.lanczos_ell_m``).
+    1. **Identity-basis ELL build, ON DEVICE** — over the full space
+       every XOR flip lands back in the space, so the connection key IS
+       the target row: no sort, no ``searchsorted`` (whose 2^24-key
+       program takes minutes to compile on this toolchain), and no host
+       assembly or multi-GB transfer (``_build_fullspace_ell_device``:
+       iota states + functional preallocation; ~1 s at 2^25).
+    2. **Restarted f32 device Lanczos** — fused on-device program
+       (``lanczos_ground_state_ell``) under the HBM Krylov-block budget
+       up to 2^24; beyond that the host-block streamed variant
+       (``lanczos_ground_state_ell_streamed``), because the fused
+       program crashes the TPU worker at 2^25 regardless of block size.
     3. **Host f64 refine** — seeded ``eigsh`` over the model's
        slab-reshape statevector matvec
        (``hamiltonians.spin.apply_statevector_np``), a formulation
@@ -352,49 +455,49 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         except (OSError, ValueError):
             pass
 
-    # -- 1. identity-basis ELL tables (host assembly, one transfer) ------
-    t0 = time.time()
-    elems_t = np.empty((C, dim), np.float32)
-    tgt_t = np.empty((C, dim), np.int32)
-    chunk = 1 << 19
-    for s in range(0, dim, chunk):
-        states = np.arange(s, min(s + chunk, dim), dtype=np.uint32)[:, None]
-        conn, el = ham.connections_np(states)           # (B, C, 1), (B, C)
-        elems_t[:, s:s + len(states)] = el.T
-        tgt_t[:, s:s + len(states)] = conn[..., 0].T
-    diag_np = ham.full_diagonal_np()
-    diag = jnp.asarray(diag_np.astype(np.float32))
-    elems = jnp.asarray(elems_t)
-    tgt = jnp.asarray(tgt_t)
-    del elems_t, tgt_t
-    wall_build = time.time() - t0
-
-    # -- 2. restarted device Lanczos (f32) --------------------------------
+    # -- 1+2. identity-basis ELL build (on device) + restarted Lanczos ---
+    # dim <= 2^24: the fused device Lanczos program (HBM Krylov block).
+    # dim  > 2^24: the fused program crashes the TPU worker even at tiny
+    # blocks (measured at 2^25: matvec fine, m=4 Lanczos fatal), so the
+    # Krylov block streams through host RAM instead.
     t0 = time.time()
     m_fit = MemoryBudget.for_device().lanczos_ell_m(dim, C, m_max=m)
     restarts = max(1, -(-m // m_fit))
     rng = np.random.default_rng(7)
+    streamed = dim > (1 << 24)
+    wall_build = 0.0
     try:
-        v0 = jnp.asarray(rng.standard_normal(dim).astype(np.float32))
-        e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
-                                            m=min(m_fit, dim),
-                                            v0=v0, restarts=restarts)
-        v_host = np.asarray(v, np.float64)
-        del v
+        diag, elems, tgt = _build_fullspace_ell_device(ham)
+        jax.block_until_ready(diag)
+        wall_build = time.time() - t0
+        t0 = time.time()
+        v0 = rng.standard_normal(dim).astype(np.float32)
+        if streamed:
+            e_dev, v = lanczos_ground_state_ell_streamed(
+                diag, elems, tgt, m=min(40, dim), v0=v0,
+                restarts=max(3, restarts))
+            v_host = np.asarray(v, np.float64)
+        else:
+            e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
+                                                m=min(m_fit, dim),
+                                                v0=jnp.asarray(v0),
+                                                restarts=restarts)
+            v_host = np.asarray(v, np.float64)
+        del v, diag, elems, tgt
     except Exception as exc:  # noqa: BLE001 - device loss must not kill
-        # the solve (the frontier block sizes sit near the observed TPU
-        # worker per-program limit): fall back to an unseeded host refine
+        # the solve (frontier programs sit near observed TPU worker
+        # limits): fall back to an unseeded host refine
         if not refine_host:
             raise
         print(f"  [fullspace] device Lanczos unavailable ({exc!r}); "
               "host refine runs unseeded")
         e_dev, v_host = None, None
-    del diag, elems, tgt
     wall_device = time.time() - t0
+    diag_np = ham.full_diagonal_np()
     if verbose and e_dev is not None:
-        print(f"  [fullspace] device Lanczos E={e_dev:.8f} "
-              f"(m={m_fit} x {restarts} restarts, {wall_device:.1f} s; "
-              f"build {wall_build:.1f} s)")
+        kind = "streamed " if streamed else ""
+        print(f"  [fullspace] {kind}device Lanczos E={e_dev:.8f} "
+              f"({wall_device:.1f} s; device build {wall_build:.1f} s)")
 
     out = {"dim": dim, "n_connections": C,
            "lanczos_m": m_fit, "restarts": restarts,
