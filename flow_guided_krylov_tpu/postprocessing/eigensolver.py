@@ -285,7 +285,8 @@ def lanczos_ground_state_ell(diag: jnp.ndarray, elems: jnp.ndarray,
 
 def lanczos_ground_state_ell_streamed(diag, elems, tgt, m: int = 40,
                                       v0: Optional[np.ndarray] = None,
-                                      restarts: int = 1, rtol: float = 1e-7
+                                      restarts: int = 1, rtol: float = 1e-7,
+                                      verbose: bool = False
                                       ) -> Tuple[float, np.ndarray]:
     """Host-block Lanczos over a device ELL matvec.
 
@@ -337,6 +338,8 @@ def lanczos_ground_state_ell_streamed(diag, elems, tgt, m: int = 40,
         vals, vecs = np.linalg.eigh(T)
         e = float(vals[0])
         v = (vecs[:, 0].astype(np.float32) @ V[:k])
+        if verbose:
+            print(f"  [streamed lanczos] restart E={e:.8f}", flush=True)
         if e_prev is not None and abs(e - e_prev) < rtol * max(1.0, abs(e)):
             e_prev = e
             break
@@ -473,9 +476,12 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         t0 = time.time()
         v0 = rng.standard_normal(dim).astype(np.float32)
         if streamed:
+            # the streamed block lives in host RAM, so m=40 is cheap;
+            # restarts scale against THAT m (not the fused m_fit) — the
+            # host f64 refine converges from any decent seed anyway
             e_dev, v = lanczos_ground_state_ell_streamed(
                 diag, elems, tgt, m=min(40, dim), v0=v0,
-                restarts=max(3, restarts))
+                restarts=max(3, -(-m // 40)), verbose=verbose)
             v_host = np.asarray(v, np.float64)
         else:
             e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
