@@ -505,8 +505,9 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         print(f"  [fullspace] {kind}device Lanczos E={e_dev:.8f} "
               f"({wall_device:.1f} s; device build {wall_build:.1f} s)")
 
-    out = {"dim": dim, "n_connections": C,
-           "lanczos_m": m_fit, "restarts": restarts,
+    out = {"dim": dim, "n_connections": C, "streamed": streamed,
+           "lanczos_m": min(40, dim) if streamed else m_fit,
+           "restarts": max(3, -(-m // 40)) if streamed else restarts,
            "wall_build_s": round(wall_build, 1),
            "wall_device_s": round(wall_device, 1), "cached": False}
     if e_dev is not None:
