@@ -195,3 +195,17 @@ def test_lattice_sci_growth_schedule():
     assert grown["error_mha"] >= -1e-6
     assert abs(grown["error_mha"] - fixed["error_mha"]) < 0.5
     assert grown["iterations"] < fixed["iterations"]
+
+
+def test_lattice_exact_full_mode(tmp_path, monkeypatch):
+    """--exact-full mode: exact full-2^n ED with the free-fermion and
+    dense oracle cross-checks at machine precision."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    val = load_example("skqd_lattice_validation")
+    out = val.run_exact_fullspace("tfim", 10, 1.0)
+    assert out["dim"] == 1024
+    assert out["oracle"] == "free-fermion"
+    assert abs(out["error_mha"]) < 1e-6
+    out2 = val.run_exact_fullspace("heisenberg-hx", 10, 0.3)
+    assert out2["oracle"] == "dense"
+    assert abs(out2["error_mha"]) < 1e-6
