@@ -395,7 +395,8 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        max_basis: int = 300_000,
                        growth: float = 0.0,
                        pt2_cap: int = 0,
-                       threshold: float = 1e-4) -> dict:
+                       threshold: float = 1e-4,
+                       screen: float = 0.0) -> dict:
     """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
     machinery alone — the spin analog of the molecular ``--mode sci``).
 
@@ -469,6 +470,7 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
+        source_screen=screen,
         max_basis_size=min(skqd.dim if skqd.subspace is not None
                            else 1 << n_spins, max_basis))
     t0 = time.time()
@@ -619,6 +621,9 @@ def main():
                    help="with --sci: PT2 coupling threshold — candidates "
                         "with |<i|H|Phi>| below it are never added; the "
                         "deep records self-terminate at this cutoff")
+    p.add_argument("--sci-screen", type=float, default=0.0,
+                   help="SHCI source screening factor: skip scoring rows "
+                        "with |c_j|*Hmax < screen*threshold (0 = off)")
     p.add_argument("--sci-pt2-cap", type=int, default=0,
                    help="with --sci: external-row fetch cap for the exact "
                         "PT2 correction (0 = default 2^23; raise when "
@@ -667,7 +672,8 @@ def main():
                                max_basis=args.sci_max_basis,
                                growth=args.sci_growth,
                                pt2_cap=args.sci_pt2_cap,
-                               threshold=args.sci_threshold)
+                               threshold=args.sci_threshold,
+                               screen=args.sci_screen)
         elif args.study:
             points = None
             if args.study_points:

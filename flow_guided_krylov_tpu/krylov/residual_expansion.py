@@ -70,6 +70,15 @@ class ResidualExpansionConfig:
     # deep run reaches a B-state basis in O(log B) eigensolves instead of
     # B / configs_per_iteration.  0 keeps the reference's fixed schedule.
     growth_factor: float = 0.0
+    # SHCI-style source screening (Holmes-Tubman-Umrigar): when > 0, a
+    # source row j is scored only if |c_j| * Hmax >= source_screen *
+    # residual_threshold — a row below that cannot by itself push any
+    # candidate over the selection cutoff.  This is the standard SHCI
+    # heuristic (small sources CAN still accumulate across rows, so it is
+    # not exact); the exact dE2 correction is unaffected (it always sums
+    # over the full basis).  0 disables it (default; all records without
+    # a "screened" marker use 0).
+    source_screen: float = 0.0
 
 
 class SelectedCIExpander:
@@ -115,6 +124,10 @@ class SelectedCIExpander:
         self._pt2_fn_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_corr_cache: Dict[Tuple[int, int], object] = {}
         self._pt2_row_cap: Optional[int] = None
+        # lazily sampled max |H_ij| over off-diagonal connections, used by
+        # the source_screen heuristic to convert the coupling cutoff into
+        # a |c_j| cutoff
+        self._hmax: Optional[float] = None
         # cumulative wall per phase (diag = host eigensolve incl. the
         # incremental CSR growth; score = PT2 candidate scoring) — the
         # stage-3 time split, printed by iterative_residual_expansion
@@ -449,6 +462,22 @@ class SelectedCIExpander:
             sig = np.abs(coeffs) >= np.abs(coeffs).max()
         src = basis[sig]
         src_c = coeffs[sig]
+
+        if c.source_screen > 0.0 and len(src) > 1:
+            # SHCI source screening: a row j with |c_j| * Hmax below the
+            # selection-coupling cutoff cannot by itself push any candidate
+            # over the threshold, so skip scoring it.  Hmax is sampled once
+            # (strided rows, max off-diagonal |H_ij|) — a heuristic bound,
+            # like the screen itself.
+            if self._hmax is None:
+                sample = src[:: max(1, len(src) // 256)][:256]
+                _, elems = self.h.connections_np(sample)
+                self._hmax = float(np.abs(elems).max())
+            c_min = (c.source_screen * c.residual_threshold
+                     / max(self._hmax, 1e-12))
+            scr = np.abs(src_c) >= c_min
+            if scr.any() and not scr.all():
+                src, src_c = src[scr], src_c[scr]
 
         use_device = self.use_device_scoring
         if use_device is None:

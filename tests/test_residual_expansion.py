@@ -288,3 +288,50 @@ def test_growth_factor_fewer_iterations_same_energy(lih):
     assert grown["energy"] - exact < 1e-4
     assert grown["energy"] == pytest.approx(fixed["energy"], abs=1e-4)
     assert grown["n_iterations"] < fixed["n_iterations"]
+
+
+def test_source_screen_preserves_convergence(lih):
+    """SHCI source screening (skip rows whose |c_j|*Hmax is below the
+    selection-coupling cutoff) reaches the same converged energy as the
+    unscreened run and actually screens rows along the way."""
+    h = lih
+    exact = h.fci_energy()
+    seed = h.get_hf_state()[None, :]
+
+    def run(screen):
+        cfg = ResidualExpansionConfig(
+            max_iterations=40, configs_per_iteration=20,
+            residual_threshold=1e-5, source_screen=screen,
+            stagnation_threshold=1e-9, stagnation_patience=3,
+            max_basis_size=225)
+        return iterative_residual_expansion(h, seed, cfg)
+
+    plain, screened = run(0.0), run(1.0)
+    assert screened["energy"] - exact < 1e-4
+    assert screened["energy"] == pytest.approx(plain["energy"], abs=1e-4)
+
+
+def test_source_screen_filters_rows(lih):
+    """An aggressive screen measurably shrinks the scored source batch
+    (the knob's whole point): with most coefficients negligible, the
+    screened candidate pool comes from the few big rows only."""
+    h = lih
+    basis = _seed_basis(h, 120)
+
+    def expander(screen):
+        return SelectedCIExpander(
+            h, ResidualExpansionConfig(residual_threshold=1e-5,
+                                       coefficient_threshold=1e-14,
+                                       source_screen=screen),
+            use_device_scoring=False)
+
+    e0, coeffs = expander(0.0)._diagonalize(basis)
+    # make most coefficients negligible so the screen has rows to drop
+    coeffs = coeffs.copy()
+    coeffs[np.abs(coeffs) < np.sort(np.abs(coeffs))[-8]] *= 1e-6
+
+    screened = expander(1.0)
+    cand_s, _ = screened._pt2_candidates(basis, coeffs, e0)
+    cand_p, _ = expander(0.0)._pt2_candidates(basis, coeffs, e0)
+    assert screened._hmax is not None and screened._hmax > 0
+    assert 0 < len(cand_s) < len(cand_p)
