@@ -132,6 +132,18 @@ def test_lattice_sci_mode_heisenberg8():
     assert abs(out["corrected_error_mha"]) <= out["error_mha"] + 1e-9
 
 
+def test_lattice_sci_screened_heisenberg8():
+    """--sci --sci-screen: SHCI source screening through the CLI glue
+    (spin Hmax sampling included) must still converge to the oracle."""
+    val = load_example("skqd_lattice_validation")
+    out = val.run_large_spin_sci("heisenberg", 8, 0.1,
+                                 iters=12, per_iter=10, screen=1.0)
+    assert out["experiment"] == "large-sci"
+    assert "error_mha" in out
+    assert out["error_mha"] >= -1e-6
+    assert out["error_mha"] < 50.0
+
+
 def test_lattice_sci_dmrg_oracle_path():
     """Sectors above SECTOR_ORACLE_MAX_DIM switch to the independent
     DMRG oracle (the Heisenberg-28 route); forcing the threshold to 0 on
