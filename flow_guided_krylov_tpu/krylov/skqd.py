@@ -213,12 +213,27 @@ def _comb(n: int, k: int) -> int:
 
 def _sector_states(n: int, k: int) -> np.ndarray:
     """All n-bit states with popcount k, sorted (fixed-magnetization
-    sector of a conserving spin Hamiltonian)."""
-    from itertools import combinations
-    states = np.fromiter(
-        (sum(1 << i for i in occ) for occ in combinations(range(n), k)),
-        dtype=np.uint32, count=_comb(n, k))
-    return np.sort(states)
+    sector of a conserving spin Hamiltonian).
+
+    Vectorized Pascal recursion: states(m, j) = states(m-1, j) followed by
+    states(m-1, j-1) | 1<<(m-1) — both halves ascending and the second
+    strictly above the first, so the result is sorted by construction.
+    The itertools.combinations loop this replaces took minutes at the
+    C(30,15) = 155M-state scale on this host; this is pure uint32
+    concat/add and runs in seconds."""
+    prev = {0: np.zeros(1, dtype=np.uint32)}          # m = 0
+    for m in range(1, n + 1):
+        cur = {}
+        for j in range(max(0, k - (n - m)), min(k, m) + 1):
+            parts = []
+            if j in prev:
+                parts.append(prev[j])
+            if j - 1 in prev:
+                parts.append(prev[j - 1] + np.uint32(1 << (m - 1)))
+            cur[j] = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        prev = cur
+    assert len(prev[k]) == _comb(n, k)
+    return prev[k]
 
 
 # ---------------------------------------------------------------------------
