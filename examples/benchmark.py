@@ -11,6 +11,7 @@ Usage:
     python examples/benchmark.py --molecule lih --nf-only
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 import sys

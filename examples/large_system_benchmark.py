@@ -16,6 +16,7 @@ H-Ar STO-3G, first-row 6-31G/6-31G*, and H/C/N/O/F cc-pVDZ.
 Usage: python examples/large_system_benchmark.py --system n2_frozen
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 

@@ -13,6 +13,7 @@ the published tables for H2S.
 Usage: python examples/moderate_system_benchmark.py --molecule co --preset fast
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 

@@ -28,6 +28,7 @@ Usage:
   python examples/skqd_lattice_validation.py --scan
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 import time

@@ -15,6 +15,7 @@ Verdicts:
 Usage: python examples/skqd_necessity_test.py --molecule lih
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 

@@ -14,6 +14,7 @@ Counterpart of ``/root/reference/examples/skqd_validation.py`` (6 modes):
 Usage: python examples/skqd_validation.py --experiment isolated --molecule lih
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
 import argparse
 import json
 import time
