@@ -11,10 +11,14 @@ Usage:
     python examples/benchmark.py --molecule lih --nf-only
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
+import os
+import sys
+
+# keep the CLI runnable when the editable install is absent (env resets)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import sys
 import time
 
 MOLECULES = {

@@ -16,7 +16,12 @@ H-Ar STO-3G, first-row 6-31G/6-31G*, and H/C/N/O/F cc-pVDZ.
 Usage: python examples/large_system_benchmark.py --system n2_frozen
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
+import os
+import sys
+
+# keep the CLI runnable when the editable install is absent (env resets)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -13,7 +13,12 @@ the published tables for H2S.
 Usage: python examples/moderate_system_benchmark.py --molecule co --preset fast
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
+import os
+import sys
+
+# keep the CLI runnable when the editable install is absent (env resets)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -15,7 +15,12 @@ Verdicts:
 Usage: python examples/skqd_necessity_test.py --molecule lih
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path fallback)
+import os
+import sys
+
+# keep the CLI runnable when the editable install is absent (env resets)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -33,12 +33,33 @@ variational: E_dmrg >= E_exact always.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+from pathlib import Path
 from typing import Dict, Tuple
 
 import numpy as np
 import scipy.sparse.linalg as spla
 
 __all__ = ["dmrg_ground_state"]
+
+
+def _cache_path(ws: list, max_bond: int, sweeps: int, tol: float,
+                seed: int) -> Path:
+    """Disk-cache key: the MPO tensors ARE the Hamiltonian (every model
+    parameter lands in them), so hashing their bytes plus the solver
+    knobs identifies the run; the frontier oracles (N=28/30 chains at
+    m=256) cost minutes each and are re-requested on every record rerun."""
+    hsh = hashlib.sha1(b"dmrg-oracle")
+    for w in ws:
+        hsh.update(repr(w.shape).encode())
+        hsh.update(np.ascontiguousarray(w, np.float64).tobytes())
+    hsh.update(repr((max_bond, sweeps, tol, seed)).encode())
+    root = Path(os.environ.get(
+        "FGK_INTEGRAL_CACHE",
+        Path.home() / ".cache" / "fgk_tpu_integrals"))
+    return root / f"dmrg_{hsh.hexdigest()}.json"
 
 _ID = np.eye(2)
 _SX = np.array([[0.0, 1.0], [1.0, 0.0]])
@@ -152,6 +173,11 @@ def dmrg_ground_state(hamiltonian, max_bond: int = 256, sweeps: int = 12,
     if n < 3:
         raise ValueError("chain too short for DMRG; use the dense oracle")
 
+    cache = _cache_path(ws, max_bond, sweeps, tol, seed)
+    if cache.exists():
+        payload = json.loads(cache.read_text())
+        return float(payload["energy"]), payload["info"]
+
     rng = np.random.default_rng(seed)
     # Neel-biased random product start (the AFM ground state's backbone);
     # the bond-growth schedule below re-entangles it.
@@ -242,8 +268,8 @@ def dmrg_ground_state(hamiltonian, max_bond: int = 256, sweeps: int = 12,
             break
         e = e_loc
 
-    return float(e), {
-        "energies": energies,
+    info = {
+        "energies": [float(x) for x in energies],
         "sweeps": len(energies),
         "max_bond": int(max(t.shape[0] for t in mps)),
         "truncation_error": float(trunc),
@@ -252,6 +278,9 @@ def dmrg_ground_state(hamiltonian, max_bond: int = 256, sweeps: int = 12,
         # the global ground state in S_z = 0) can assert it vanishes
         "total_sz": _total_sz(mps),
     }
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    cache.write_text(json.dumps({"energy": float(e), "info": info}))
+    return float(e), info
 
 
 def _total_sz(mps) -> float:
