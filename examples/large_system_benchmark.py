@@ -180,7 +180,8 @@ def n2_ccpvdz_10o():
 
 def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
             per_iter: int = 600, growth: float = 0.0,
-            threshold: float = 1e-4, screen: float = 0.0) -> dict:
+            threshold: float = 1e-4, screen: float = 0.0,
+            pt2_cap: int = 0) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
@@ -192,7 +193,8 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
         source_screen=screen,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
-                                       verbose=True, pt2_correct=True)
+                                       verbose=True, pt2_correct=True,
+                                       pt2_cap=pt2_cap or None)
     e = float(out["energy"])
     res = {"final_energy": e, "basis_size": int(len(out["basis"]))}
     if "pt2_de2" in out:
@@ -211,7 +213,8 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
 def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_iters: int = 80, sci_per_iter: int = 600,
         sci_max_basis: int = 50_000, sci_growth: float = 0.0,
-        sci_threshold: float = 1e-4, sci_screen: float = 0.0) -> dict:
+        sci_threshold: float = 1e-4, sci_screen: float = 0.0,
+        sci_pt2_cap: int = 0) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -221,7 +224,8 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
     if mode == "sci":
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
                       per_iter=sci_per_iter, growth=sci_growth,
-                      threshold=sci_threshold, screen=sci_screen)
+                      threshold=sci_threshold, screen=sci_screen,
+                      pt2_cap=sci_pt2_cap)
     else:
         cfg = SystemScaler(n_valid, QualityPreset(preset_name)
                            ).create_pipeline_config(verbose=False)
@@ -270,11 +274,15 @@ def main():
     p.add_argument("--sci-screen", type=float, default=0.0,
                    help="SHCI source screening factor: skip scoring rows "
                         "with |c_j|*Hmax < screen*threshold (0 = off)")
+    p.add_argument("--sci-pt2-cap", type=int, default=0,
+                   help="external-row fetch cap for the exact PT2 "
+                        "correction (0 = default 2^23; raise when "
+                        "pt2_exact comes back False)")
     args = p.parse_args()
     run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
         sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis,
         sci_growth=args.sci_growth, sci_threshold=args.sci_threshold,
-        sci_screen=args.sci_screen)
+        sci_screen=args.sci_screen, sci_pt2_cap=args.sci_pt2_cap)
 
 
 if __name__ == "__main__":
