@@ -40,6 +40,30 @@ def test_dmrg_odd_chain_half_integer_sector():
     assert abs(abs(info["total_sz"]) - 0.5) < 1e-6
 
 
+def test_dmrg_odd_chain_sector_sign_matches_packed_convention():
+    """The lattice SCI runner flips its Neel seed into the sector DMRG's
+    total_sz reports (odd N); that relies on bit=1 ↔ sigma_z=+1 meaning
+    sector S_z = popcount − n/2 in BOTH representations.  Pin it: the
+    DMRG energy must equal the dense-ED minimum restricted to the
+    popcount sector matching sign(total_sz), and that sector must hold
+    the global ground state."""
+    n = 11
+    hz = np.zeros(n)
+    hz[0] = 0.1                     # the lattice-validation perturbation
+    h = HeisenbergHamiltonian(n, 1.0, 1.0, 1.0, h_z=hz)
+    e, info = dmrg_ground_state(h, max_bond=64, sweeps=8)
+    dense = h.exact_dense()
+    pop = np.array([bin(s).count("1") for s in range(1 << n)])
+    sector_min = {}
+    for k in (n // 2, n // 2 + 1):          # S_z = -1/2, +1/2
+        idx = np.where(pop == k)[0]
+        sector_min[k - n / 2.0] = float(
+            np.linalg.eigvalsh(dense[np.ix_(idx, idx)]).min())
+    sz = 0.5 if info["total_sz"] > 0 else -0.5
+    assert e == pytest.approx(sector_min[sz], abs=1e-9)
+    assert sector_min[sz] == min(sector_min.values())
+
+
 def test_dmrg_matches_ed_xxz_with_fields():
     n = 10
     h = HeisenbergHamiltonian(n, 0.8, 0.8, 0.55,
