@@ -538,8 +538,8 @@ def run_exact_fullspace(model: str, n_spins: int, h_field: float) -> dict:
     res = {"experiment": "exact-fullspace", "model": model,
            "n_spins": n_spins, "h": h_field, "dim": out["dim"],
            "energy": out["energy"], "wall_s": round(time.time() - t0, 1)}
-    for k in ("e_device", "e_rayleigh_f32vec", "lanczos_m", "restarts",
-              "wall_build_s", "wall_device_s", "wall_refine_s",
+    for k in ("e_device", "e_rayleigh_f32vec", "route", "lanczos_m",
+              "restarts", "wall_build_s", "wall_device_s", "wall_refine_s",
               "refine_matvecs", "cached"):
         if k in out:
             res[k] = out[k]

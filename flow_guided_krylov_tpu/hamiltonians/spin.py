@@ -57,6 +57,25 @@ def _flip2_anti(v: np.ndarray, i: int, j: int, n: int) -> np.ndarray:
     return w.reshape(-1)
 
 
+def _flip1_jax(v, i: int, n: int):
+    """Device twin of ``_flip1``: slab-reshape + axis reverse, pure XLA
+    data movement (no index arrays, no gather) — HBM-bandwidth bound."""
+    import jax.numpy as jnp
+    return jnp.flip(v.reshape(1 << (n - 1 - i), 2, 1 << i), axis=1
+                    ).reshape(-1)
+
+
+def _flip2_anti_jax(v, i: int, j: int, n: int):
+    """Device twin of ``_flip2_anti`` (requires ``i < j``): double axis
+    reverse masked to antiparallel (i, j) output configurations."""
+    import jax.numpy as jnp
+    a, b, c = 1 << (n - 1 - j), 1 << (j - 1 - i), 1 << i
+    w = jnp.flip(v.reshape(a, 2, b, 2, c), axis=(1, 3))
+    anti = jnp.array([[0.0, 1.0], [1.0, 0.0]],
+                     w.dtype).reshape(1, 2, 1, 2, 1)
+    return (w * anti).reshape(-1)
+
+
 class _SpinBase(Hamiltonian):
     pack_words = 1
 
@@ -99,6 +118,25 @@ class _SpinBase(Hamiltonian):
         return out
 
     def _apply_offdiag_np(self, v: np.ndarray, out: np.ndarray) -> None:
+        raise NotImplementedError
+
+    # -- device (f32) full-space statevector application ------------------
+    #
+    # The TABLE-FREE route for full-2^n eigensolves: where the identity-ELL
+    # tables cost 2 * pad(C) * 2^n words of HBM (17+ GiB at n=26, C=n),
+    # the flip formulation stores NOTHING but the vectors — each term of H
+    # is a slab-reshape axis reverse that XLA lowers to pure data movement.
+    # Jittable; the device twin of ``apply_statevector_np`` above.
+
+    def apply_statevector_jax(self, v, diag):
+        """H @ v over the full 2^n space on device (f32 slab bit-flips).
+
+        ``diag`` is the precomputed (2^n,) f32 diagonal (see
+        ``postprocessing.eigensolver.full_diagonal_device``)."""
+        out = diag * v
+        return self._apply_offdiag_jax(v, out)
+
+    def _apply_offdiag_jax(self, v, out):
         raise NotImplementedError
 
 
@@ -194,6 +232,20 @@ class HeisenbergHamiltonian(_SpinBase):
                 if abs(self.h_x[i]) > 1e-12:
                     out += (self.h_x[i] / 2.0) * _flip1(v, i, n)
 
+    def _apply_offdiag_jax(self, v, out):
+        n = self.n_sites
+        jxy = float((self.Jx + self.Jy) / 4.0)
+        if abs(jxy) > 1e-15:
+            for i, j in self.bonds:
+                lo, hi = (i, j) if i < j else (j, i)
+                out = out + jxy * _flip2_anti_jax(v, lo, hi, n)
+        if self._has_x_field:
+            for i in range(n):
+                hx = float(self.h_x[i])
+                if abs(hx) > 1e-12:
+                    out = out + (hx / 2.0) * _flip1_jax(v, i, n)
+        return out
+
 
 class TransverseFieldIsing(_SpinBase):
     def __init__(self, num_spins: int, V: float = 1.0, h: float = 1.0,
@@ -240,6 +292,13 @@ class TransverseFieldIsing(_SpinBase):
         for i in range(1, n):
             acc += _flip1(v, i, n)
         out -= self.h * acc
+
+    def _apply_offdiag_jax(self, v, out):
+        n = self.n_sites
+        acc = _flip1_jax(v, 0, n)
+        for i in range(1, n):
+            acc = acc + _flip1_jax(v, i, n)
+        return out - float(self.h) * acc
 
 
 def create_heisenberg_hamiltonian(num_spins: int, Jx: float = 1.0,

@@ -347,6 +347,115 @@ def lanczos_ground_state_ell_streamed(diag, elems, tgt, m: int = 40,
     return e_prev, v / np.linalg.norm(v)
 
 
+def full_diagonal_device(ham):
+    """(2^n,) f32 diagonal of the full spin space, built ON device in
+    chunks from the packed diagonal kernel (iota states, functional
+    preallocation — the diag half of ``_build_fullspace_ell_device``)."""
+    n = int(ham.n_sites)
+    N = 1 << n
+    diag_fn = ham.diagonal_device
+    chunk = min(1 << 19, N)
+
+    @jax.jit
+    def build():
+        d = jnp.zeros((N,), jnp.float32)
+
+        def body(i, d):
+            start = i * chunk
+            idx = (jnp.uint32(start)
+                   + jnp.arange(chunk, dtype=jnp.uint32))[:, None]
+            return jax.lax.dynamic_update_slice(
+                d, diag_fn(idx).astype(jnp.float32), (start,))
+
+        return jax.lax.fori_loop(0, N // chunk, body, d)
+
+    return build()
+
+
+def lanczos_ground_state_stepped(mv, dim: int, m: int = 40,
+                                 v0: Optional[np.ndarray] = None,
+                                 restarts: int = 3, rtol: float = 1e-7,
+                                 verbose: bool = False
+                                 ) -> Tuple[float, np.ndarray]:
+    """Device-resident Lanczos with NO stored Krylov block.
+
+    The route past BOTH measured worker limits (docs/KERNELS.md): the
+    fused block program crashes between 1.04 and 1.21 GB (and at ANY
+    block size above 2^24), and the streamed route pays two ~4 B/state
+    tunnel transfers per step.  Here the 3-term recurrence keeps only
+    (v_prev, v_cur) device-resident across small per-step jit calls —
+    nothing but two f32 scalars crosses the host link per step, and
+    peak device memory is ~4 N-vectors regardless of ``m``.
+
+    Pass A accumulates the tridiagonal (alpha, beta); the host
+    diagonalizes T; pass B re-runs the recurrence to assemble the Ritz
+    vector (classic two-pass Lanczos).  No reorthogonalization — in f32
+    ghost pairs only slow the extremal pair, and each restart re-seeds
+    from the current Ritz vector.  f32 grade: refine on the host for
+    oracle-grade numbers (``exact_fullspace_ground_state``)."""
+    m = min(m, dim)
+
+    @jax.jit
+    def step(v_prev, v_cur, beta_prev):
+        w = mv(v_cur)
+        alpha = jnp.dot(w, v_cur, precision=jax.lax.Precision.HIGHEST)
+        w = w - alpha * v_cur - beta_prev * v_prev
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(beta, 1e-30)
+        return v_next, alpha, beta
+
+    @jax.jit
+    def accum(acc, v_cur, y_j):
+        return acc + y_j * v_cur
+
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(v0 if v0 is not None
+                    else rng.standard_normal(dim), jnp.float32)
+    e_prev = None
+    for r in range(max(1, restarts)):
+        v = v / jnp.linalg.norm(v)
+        v_start = v                       # kept for pass B (one extra vec)
+        v_prev = jnp.zeros_like(v)
+        alphas = np.zeros(m)
+        betas = np.zeros(m)
+        k = m
+        beta_prev = jnp.float32(0.0)
+        v_cur = v_start
+        for j in range(m):
+            v_next, a, b = step(v_prev, v_cur, beta_prev)
+            alphas[j] = float(a)
+            betas[j] = float(b)
+            if betas[j] < 1e-6:
+                k = j + 1
+                break
+            v_prev, v_cur, beta_prev = v_cur, v_next, b
+        T = (np.diag(alphas[:k]) + np.diag(betas[:k - 1], 1)
+             + np.diag(betas[:k - 1], -1))
+        vals, vecs = np.linalg.eigh(T)
+        e = float(vals[0])
+        y = vecs[:, 0]
+        # pass B: rebuild sum_j y_j q_j by re-running the recurrence
+        acc = jnp.zeros_like(v_start)
+        v_prev = jnp.zeros_like(v_start)
+        v_cur = v_start
+        beta_prev = jnp.float32(0.0)
+        for j in range(k):
+            acc = accum(acc, v_cur, jnp.float32(y[j]))
+            if j + 1 < k:
+                v_next, _, b = step(v_prev, v_cur, beta_prev)
+                v_prev, v_cur, beta_prev = v_cur, v_next, b
+        v = acc
+        if verbose:
+            print(f"  [stepped lanczos] restart {r}: E={e:.8f}",
+                  flush=True)
+        if e_prev is not None and abs(e - e_prev) < rtol * max(1.0, abs(e)):
+            e_prev = e
+            break
+        e_prev = e
+    nrm = jnp.linalg.norm(v)
+    return e_prev, np.asarray(v / nrm)
+
+
 def _build_fullspace_ell_device(ham):
     """Identity-basis (C, N) ELL tables for the FULL 2^n space, built
     entirely ON DEVICE: states are iota, the connection key IS the target
@@ -445,10 +554,15 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
     c_pad = -(-C // 8) * 8                     # (C, N) sublane padding
     tables_bytes = 2 * c_pad * dim * 4 + dim * 4
     hbm = device_memory_bytes()
-    if tables_bytes + (1 << 30) + 10 * dim * 4 > 0.85 * hbm:
+    tables_fit = tables_bytes + (1 << 30) + 10 * dim * 4 <= 0.85 * hbm
+    # table-free flip route (slab-reshape matvec): ~6 f32 N-vectors
+    flip_ok = (hasattr(ham, "apply_statevector_jax")
+               and 6 * 4 * dim <= 0.5 * hbm)
+    if not tables_fit and not flip_ok:
         raise MemoryError(
             f"full 2^{n} ELL tables ({tables_bytes / 2**30:.1f} GiB at "
-            f"C={C}) exceed the HBM budget ({hbm / 2**30:.0f} GiB)")
+            f"C={C}) exceed the HBM budget ({hbm / 2**30:.0f} GiB) and "
+            "no table-free statevector route is available")
 
     path = _fullspace_cache_path(ham)
     if use_cache and refine_host:
@@ -468,28 +582,47 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
     restarts = max(1, -(-m // m_fit))
     rng = np.random.default_rng(7)
     streamed = dim > (1 << 24)
+    use_flip = flip_ok and (streamed or not tables_fit)
     wall_build = 0.0
     try:
-        diag, elems, tgt = _build_fullspace_ell_device(ham)
-        jax.block_until_ready(diag)
-        wall_build = time.time() - t0
-        t0 = time.time()
-        v0 = rng.standard_normal(dim).astype(np.float32)
-        if streamed:
-            # the streamed block lives in host RAM, so m=40 is cheap;
-            # restarts scale against THAT m (not the fused m_fit) — the
-            # host f64 refine converges from any decent seed anyway
-            e_dev, v = lanczos_ground_state_ell_streamed(
-                diag, elems, tgt, m=min(40, dim), v0=v0,
+        if use_flip:
+            # table-free flip route: above 2^24 the fused ELL program is
+            # past the worker limit and the streamed route pays two
+            # tunnel transfers per step; the slab-reshape matvec keeps
+            # everything device-resident and stores no tables at all
+            # (at n=26, C=n the ELL tables alone would be 17+ GiB)
+            diag_dev = full_diagonal_device(ham)
+            jax.block_until_ready(diag_dev)
+            wall_build = time.time() - t0
+            t0 = time.time()
+            mv = jax.jit(lambda x: ham.apply_statevector_jax(x, diag_dev))
+            v0 = rng.standard_normal(dim).astype(np.float32)
+            e_dev, v = lanczos_ground_state_stepped(
+                mv, dim, m=min(40, dim), v0=v0,
                 restarts=max(3, -(-m // 40)), verbose=verbose)
             v_host = np.asarray(v, np.float64)
+            del v, diag_dev
         else:
-            e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
-                                                m=min(m_fit, dim),
-                                                v0=jnp.asarray(v0),
-                                                restarts=restarts)
-            v_host = np.asarray(v, np.float64)
-        del v, diag, elems, tgt
+            diag, elems, tgt = _build_fullspace_ell_device(ham)
+            jax.block_until_ready(diag)
+            wall_build = time.time() - t0
+            t0 = time.time()
+            v0 = rng.standard_normal(dim).astype(np.float32)
+            if streamed:
+                # the streamed block lives in host RAM, so m=40 is cheap;
+                # restarts scale against THAT m (not the fused m_fit) —
+                # the host f64 refine converges from any decent seed
+                e_dev, v = lanczos_ground_state_ell_streamed(
+                    diag, elems, tgt, m=min(40, dim), v0=v0,
+                    restarts=max(3, -(-m // 40)), verbose=verbose)
+                v_host = np.asarray(v, np.float64)
+            else:
+                e_dev, v = lanczos_ground_state_ell(diag, elems, tgt,
+                                                    m=min(m_fit, dim),
+                                                    v0=jnp.asarray(v0),
+                                                    restarts=restarts)
+                v_host = np.asarray(v, np.float64)
+            del v, diag, elems, tgt
     except Exception as exc:  # noqa: BLE001 - device loss must not kill
         # the solve (frontier programs sit near observed TPU worker
         # limits): fall back to an unseeded host refine
@@ -500,14 +633,17 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
         e_dev, v_host = None, None
     wall_device = time.time() - t0
     diag_np = ham.full_diagonal_np()
+    route = ("flip-stepped" if use_flip
+             else "ell-streamed" if streamed else "ell-fused")
     if verbose and e_dev is not None:
-        kind = "streamed " if streamed else ""
-        print(f"  [fullspace] {kind}device Lanczos E={e_dev:.8f} "
+        print(f"  [fullspace] {route} device Lanczos E={e_dev:.8f} "
               f"({wall_device:.1f} s; device build {wall_build:.1f} s)")
 
     out = {"dim": dim, "n_connections": C, "streamed": streamed,
-           "lanczos_m": min(40, dim) if streamed else m_fit,
-           "restarts": max(3, -(-m // 40)) if streamed else restarts,
+           "route": route,
+           "lanczos_m": min(40, dim) if (streamed or use_flip) else m_fit,
+           "restarts": (max(3, -(-m // 40)) if (streamed or use_flip)
+                        else restarts),
            "wall_build_s": round(wall_build, 1),
            "wall_device_s": round(wall_device, 1), "cached": False}
     if e_dev is not None:

@@ -353,10 +353,11 @@ def test_exact_fullspace_ground_state(ham, tmp_path, monkeypatch):
 
 
 def test_exact_fullspace_hbm_gate():
-    """Spaces whose ELL tables exceed the HBM budget are refused."""
+    """Spaces beyond BOTH the ELL-table and the table-free flip-route
+    budgets are refused (n=31: six f32 2^31-vectors alone are 48 GiB)."""
     from flow_guided_krylov_tpu.postprocessing import \
         exact_fullspace_ground_state
-    ham = TransverseFieldIsing(30, V=1.0, h=1.0)
+    ham = TransverseFieldIsing(31, V=1.0, h=1.0)
     with pytest.raises(MemoryError):
         exact_fullspace_ground_state(ham, refine_host=False, use_cache=False)
 
@@ -405,3 +406,118 @@ def test_streamed_ell_lanczos_matches_dense():
                                              restarts=3)
     assert abs(e - e_ref) < 1e-3
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_sector_states_at_the_31_spin_boundary():
+    """n=31 puts states up to bit 30 (uint32's last value bit): the Pascal
+    recursion must neither overflow nor lose sortedness there."""
+    from math import comb
+
+    from flow_guided_krylov_tpu.krylov.skqd import _sector_states
+    for k in (1, 2, 29, 30):
+        s = _sector_states(31, k)
+        assert s.dtype == np.uint32
+        assert len(s) == comb(31, k)
+        assert (np.diff(s.astype(np.int64)) > 0).all()
+        pop = np.array([bin(int(x)).count("1") for x in s])
+        assert (pop == k).all()
+    # bit 30 actually appears
+    assert int(_sector_states(31, 1)[-1]) == 1 << 30
+
+
+def test_connection_kernel_at_bit30_vs_pauli_oracle():
+    """Heisenberg-31 edge (29,30) exercises the top uint32 value bit; pin
+    the packed kernels against the PauliString oracle on a handful of
+    states without materializing anything 2^31-sized."""
+    n = 31
+    hz = np.zeros(n)
+    hz[0] = 0.1
+    ham = HeisenbergHamiltonian(n, 1.0, 1.0, 1.0, h_z=hz)
+    coeffs, words = extract_coeffs_and_paulis(ham)
+    paulis = [PauliString(w, c) for c, w in zip(coeffs, words)]
+
+    neel = sum(1 << i for i in range(0, n, 2))        # bits 0,2,...,30
+    kets = [neel, neel ^ (1 << 30), neel ^ (1 << 30) ^ (1 << 29),
+            (1 << 31) - 1 - neel]
+    for x in kets:
+        # oracle: accumulate <y|H|x> per connected y via Pauli application
+        row = {}
+        for p in paulis:
+            y, ph = p.apply(x)
+            row[y] = row.get(y, 0.0) + ph
+        conn, el = ham.connections_np(np.array([[x]], np.uint32))
+        got = {}
+        for y, v in zip(conn[0, :, 0].tolist(), el[0].tolist()):
+            if v != 0.0 or y == x:
+                got[y] = got.get(y, 0.0) + v
+        got[x] = got.get(x, 0.0) + float(
+            ham.diagonal_np(np.array([[x]], np.uint32))[0])
+        for y, v in row.items():
+            assert abs(complex(v).imag) < 1e-12
+            assert abs(got.get(y, 0.0) - complex(v).real) < 1e-10, (
+                f"state {x:#x} -> {y:#x}")
+        for y, v in got.items():
+            if abs(v) > 1e-12:
+                assert y in row, f"spurious connection {x:#x} -> {y:#x}"
+
+
+@pytest.mark.parametrize("ham", [
+    TransverseFieldIsing(8, V=1.0, h=0.9),
+    TransverseFieldIsing(6, V=0.7, h=1.2, L=2, periodic=True),
+    HeisenbergHamiltonian(7, 1.0, 1.0, 0.8, h_x=0.3 * np.ones(7),
+                          h_z=0.15 * np.ones(7)),
+    HeisenbergHamiltonian(6, 1.0, 1.0, 1.0, periodic=True),
+])
+def test_apply_statevector_jax_matches_dense(ham):
+    """The table-free device flip matvec (slab-reshape stencils) is a
+    third, independent formulation of H — pin it to the dense oracle."""
+    import jax.numpy as jnp
+
+    from flow_guided_krylov_tpu.postprocessing.eigensolver import \
+        full_diagonal_device
+    n = ham.n_sites
+    H = ham.exact_dense()
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(1 << n).astype(np.float32)
+    diag = full_diagonal_device(ham)
+    np.testing.assert_allclose(np.asarray(diag), np.diag(H), atol=1e-5)
+    got = np.asarray(ham.apply_statevector_jax(jnp.asarray(v), diag))
+    np.testing.assert_allclose(got, H @ v, atol=1e-4)
+
+
+def test_lanczos_stepped_finds_ground_state():
+    """Blockless device-resident Lanczos (two-pass, no reorthogonalization)
+    converges to the extremal eigenvalue through restarts."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_guided_krylov_tpu.postprocessing.eigensolver import (
+        full_diagonal_device, lanczos_ground_state_stepped)
+    ham = TransverseFieldIsing(10, V=1.0, h=1.0)
+    e_ref = float(np.linalg.eigvalsh(ham.exact_dense())[0])
+    diag = full_diagonal_device(ham)
+    mv = jax.jit(lambda x: ham.apply_statevector_jax(x, diag))
+    e, v = lanczos_ground_state_stepped(mv, 1 << 10, m=30, restarts=5)
+    assert abs(e - e_ref) < 1e-3
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # the returned Ritz vector is consistent with its energy
+    rq = float(v @ np.asarray(mv(jnp.asarray(v, jnp.float32))))
+    assert abs(rq - e) < 1e-3
+
+
+def test_exact_fullspace_routes_to_flip_when_tables_do_not_fit(
+        tmp_path, monkeypatch):
+    """When the identity-ELL tables exceed HBM but the vectors fit, the
+    full-space solve takes the table-free flip route and still lands on
+    the dense eigenvalue (f64 host refine)."""
+    monkeypatch.setenv("FGK_INTEGRAL_CACHE", str(tmp_path))
+    from flow_guided_krylov_tpu.utils import memory as mem
+    monkeypatch.setattr(mem, "device_memory_bytes", lambda *a, **k: 1_200_000_000)
+    from flow_guided_krylov_tpu.postprocessing import eigensolver as es
+    ham = TransverseFieldIsing(10, V=1.0, h=1.0)
+    e_ref = float(np.linalg.eigvalsh(ham.exact_dense())[0])
+    res = es.exact_fullspace_ground_state(ham, m=60, verbose=False,
+                                          use_cache=False)
+    assert res["route"] == "flip-stepped"
+    assert abs(res["e_device"] - e_ref) < 1e-3
+    assert abs(res["energy"] - e_ref) < 1e-8
