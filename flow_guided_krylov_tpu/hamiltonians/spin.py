@@ -57,23 +57,79 @@ def _flip2_anti(v: np.ndarray, i: int, j: int, n: int) -> np.ndarray:
     return w.reshape(-1)
 
 
-def _flip1_jax(v, i: int, n: int):
-    """Device twin of ``_flip1``: slab-reshape + axis reverse, pure XLA
-    data movement (no index arrays, no gather) — HBM-bandwidth bound."""
+# TPU memory tiling pads the last two axes of every array to (8, 128);
+# the host slab trick (reshape to a (..., 2, 2^i) view and reverse the
+# 2-axis) therefore explodes 4-64x on device whenever the trailing dims
+# are small — measured: the naive formulation of ONE bit-1 flip at 2^26
+# wanted a 16 GiB padded temp (f32[2^24, 2, 2] -> T(2,128) = 64x).  The
+# device flips below are layout-aware instead:
+#
+# * bit i >= 7 ("row bits"): flipping bit i swaps CONTIGUOUS 2^i-element
+#   blocks, i.e. a static roll of each (2^(i+1))-wide row — XLA lowers
+#   jnp.roll(…, axis=1) to two slices + a concat with no repadding.
+# * bit i < 7 ("lane bits"): the flip permutes positions within each
+#   128-lane group — one (N/128, 128) @ (128, 128) permutation matmul on
+#   the MXU at Precision.HIGHEST (exact pass-through of f32 values).
+#
+# Tiny spaces (n <= 14: CPU tests, dryruns) keep the reverse formulation,
+# where padding is irrelevant and matmul shapes would degenerate.
+
+_LANE_BITS = 7
+
+
+def _lane_perm(mask: int):
+    """(128, 128) f32 permutation matrix for column index XOR ``mask``."""
+    L = 1 << _LANE_BITS
+    cols = np.arange(L)
+    P = np.zeros((L, L), np.float32)
+    P[cols ^ mask, cols] = 1.0
+    return P
+
+
+def _xor_flip_jax(v, mask: int, n: int):
+    """``v`` reindexed by flat-index XOR ``mask`` (any set of bits),
+    decomposed into one lane-permutation matmul + per-row-bit rolls."""
+    import jax
     import jax.numpy as jnp
-    return jnp.flip(v.reshape(1 << (n - 1 - i), 2, 1 << i), axis=1
-                    ).reshape(-1)
+    lane_mask = mask & ((1 << _LANE_BITS) - 1)
+    if lane_mask:
+        v = jnp.dot(v.reshape(-1, 1 << _LANE_BITS),
+                    jnp.asarray(_lane_perm(lane_mask)),
+                    precision=jax.lax.Precision.HIGHEST).reshape(-1)
+    for i in range(_LANE_BITS, n):
+        if (mask >> i) & 1:
+            v = jnp.roll(v.reshape(-1, 1 << (i + 1)), 1 << i,
+                         axis=1).reshape(-1)
+    return v
+
+
+def _flip1_jax(v, i: int, n: int):
+    """Device twin of ``_flip1`` (see the layout note above)."""
+    import jax.numpy as jnp
+    if n <= 14:
+        return jnp.flip(v.reshape(1 << (n - 1 - i), 2, 1 << i), axis=1
+                        ).reshape(-1)
+    return _xor_flip_jax(v, 1 << i, n)
 
 
 def _flip2_anti_jax(v, i: int, j: int, n: int):
-    """Device twin of ``_flip2_anti`` (requires ``i < j``): double axis
-    reverse masked to antiparallel (i, j) output configurations."""
+    """Device twin of ``_flip2_anti`` (requires ``i < j``): double bit
+    flip masked to antiparallel (i, j) output configurations.  The mask
+    is computed from a broadcast iota — elementwise, fused by XLA, no
+    stored pattern."""
+    import jax
     import jax.numpy as jnp
-    a, b, c = 1 << (n - 1 - j), 1 << (j - 1 - i), 1 << i
-    w = jnp.flip(v.reshape(a, 2, b, 2, c), axis=(1, 3))
-    anti = jnp.array([[0.0, 1.0], [1.0, 0.0]],
-                     w.dtype).reshape(1, 2, 1, 2, 1)
-    return (w * anti).reshape(-1)
+    if n <= 14:
+        a, b, c = 1 << (n - 1 - j), 1 << (j - 1 - i), 1 << i
+        w = jnp.flip(v.reshape(a, 2, b, 2, c), axis=(1, 3))
+        anti = jnp.array([[0.0, 1.0], [1.0, 0.0]],
+                         w.dtype).reshape(1, 2, 1, 2, 1)
+        return (w * anti).reshape(-1)
+    w = _xor_flip_jax(v, (1 << i) | (1 << j), n)
+    iota = jax.lax.iota(jnp.uint32, 1 << n)
+    anti = (((iota >> jnp.uint32(i)) ^ (iota >> jnp.uint32(j)))
+            & jnp.uint32(1)).astype(w.dtype)
+    return w * anti
 
 
 class _SpinBase(Hamiltonian):

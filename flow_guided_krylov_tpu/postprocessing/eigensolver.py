@@ -375,7 +375,7 @@ def full_diagonal_device(ham):
 def lanczos_ground_state_stepped(mv, dim: int, m: int = 40,
                                  v0: Optional[np.ndarray] = None,
                                  restarts: int = 3, rtol: float = 1e-7,
-                                 verbose: bool = False
+                                 verbose: bool = False, mv_args=()
                                  ) -> Tuple[float, np.ndarray]:
     """Device-resident Lanczos with NO stored Krylov block.
 
@@ -392,12 +392,18 @@ def lanczos_ground_state_stepped(mv, dim: int, m: int = 40,
     vector (classic two-pass Lanczos).  No reorthogonalization — in f32
     ghost pairs only slow the extremal pair, and each restart re-seeds
     from the current Ritz vector.  f32 grade: refine on the host for
-    oracle-grade numbers (``exact_fullspace_ground_state``)."""
+    oracle-grade numbers (``exact_fullspace_ground_state``).
+
+    ``mv_args``: extra device-array operands threaded through to
+    ``mv(v, *mv_args)`` as jit PARAMETERS.  Do NOT close over large
+    device arrays in ``mv`` — axon's remote-compile serializes closure
+    constants into the compile request, and a 2^26 f32 diagonal
+    captured that way blows the HTTP body limit (observed 413)."""
     m = min(m, dim)
 
     @jax.jit
-    def step(v_prev, v_cur, beta_prev):
-        w = mv(v_cur)
+    def step(v_prev, v_cur, beta_prev, *margs):
+        w = mv(v_cur, *margs)
         alpha = jnp.dot(w, v_cur, precision=jax.lax.Precision.HIGHEST)
         w = w - alpha * v_cur - beta_prev * v_prev
         beta = jnp.linalg.norm(w)
@@ -422,7 +428,7 @@ def lanczos_ground_state_stepped(mv, dim: int, m: int = 40,
         beta_prev = jnp.float32(0.0)
         v_cur = v_start
         for j in range(m):
-            v_next, a, b = step(v_prev, v_cur, beta_prev)
+            v_next, a, b = step(v_prev, v_cur, beta_prev, *mv_args)
             alphas[j] = float(a)
             betas[j] = float(b)
             if betas[j] < 1e-6:
@@ -442,7 +448,7 @@ def lanczos_ground_state_stepped(mv, dim: int, m: int = 40,
         for j in range(k):
             acc = accum(acc, v_cur, jnp.float32(y[j]))
             if j + 1 < k:
-                v_next, _, b = step(v_prev, v_cur, beta_prev)
+                v_next, _, b = step(v_prev, v_cur, beta_prev, *mv_args)
                 v_prev, v_cur, beta_prev = v_cur, v_next, b
         v = acc
         if verbose:
@@ -595,10 +601,13 @@ def exact_fullspace_ground_state(ham, m: int = 120, refine_host: bool = True,
             jax.block_until_ready(diag_dev)
             wall_build = time.time() - t0
             t0 = time.time()
-            mv = jax.jit(lambda x: ham.apply_statevector_jax(x, diag_dev))
+            # diag rides as a jit ARG (closure capture would embed the
+            # 2^n f32 vector as a constant in the remote-compile request
+            # — observed HTTP 413 at 2^26)
+            mv = ham.apply_statevector_jax
             v0 = rng.standard_normal(dim).astype(np.float32)
             e_dev, v = lanczos_ground_state_stepped(
-                mv, dim, m=min(40, dim), v0=v0,
+                mv, dim, m=min(40, dim), v0=v0, mv_args=(diag_dev,),
                 restarts=max(3, -(-m // 40)), verbose=verbose)
             v_host = np.asarray(v, np.float64)
             del v, diag_dev

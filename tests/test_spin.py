@@ -488,7 +488,6 @@ def test_apply_statevector_jax_matches_dense(ham):
 def test_lanczos_stepped_finds_ground_state():
     """Blockless device-resident Lanczos (two-pass, no reorthogonalization)
     converges to the extremal eigenvalue through restarts."""
-    import jax
     import jax.numpy as jnp
 
     from flow_guided_krylov_tpu.postprocessing.eigensolver import (
@@ -496,12 +495,15 @@ def test_lanczos_stepped_finds_ground_state():
     ham = TransverseFieldIsing(10, V=1.0, h=1.0)
     e_ref = float(np.linalg.eigvalsh(ham.exact_dense())[0])
     diag = full_diagonal_device(ham)
-    mv = jax.jit(lambda x: ham.apply_statevector_jax(x, diag))
-    e, v = lanczos_ground_state_stepped(mv, 1 << 10, m=30, restarts=5)
+    # diag threads through mv_args — the production calling convention
+    # (closure capture embeds it as a remote-compile constant; HTTP 413)
+    e, v = lanczos_ground_state_stepped(ham.apply_statevector_jax, 1 << 10,
+                                        m=30, restarts=5, mv_args=(diag,))
     assert abs(e - e_ref) < 1e-3
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
     # the returned Ritz vector is consistent with its energy
-    rq = float(v @ np.asarray(mv(jnp.asarray(v, jnp.float32))))
+    rq = float(v @ np.asarray(
+        ham.apply_statevector_jax(jnp.asarray(v, jnp.float32), diag)))
     assert abs(rq - e) < 1e-3
 
 
@@ -521,3 +523,24 @@ def test_exact_fullspace_routes_to_flip_when_tables_do_not_fit(
     assert res["route"] == "flip-stepped"
     assert abs(res["e_device"] - e_ref) < 1e-3
     assert abs(res["energy"] - e_ref) < 1e-8
+
+
+@pytest.mark.parametrize("ham", [
+    TransverseFieldIsing(16, V=1.0, h=1.0),
+    HeisenbergHamiltonian(16, 1.0, 1.0, 0.9, h_x=0.25 * np.ones(16),
+                          h_z=0.1 * np.ones(16)),
+])
+def test_apply_statevector_jax_layout_path_matches_host(ham):
+    """n > 14 takes the TPU-layout-aware flip path (lane-permutation
+    matmul + row rolls); pin it to the host f64 slab formulation."""
+    import jax.numpy as jnp
+
+    from flow_guided_krylov_tpu.postprocessing.eigensolver import \
+        full_diagonal_device
+    n = ham.n_sites
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(1 << n).astype(np.float32)
+    want = ham.apply_statevector_np(v)
+    diag = full_diagonal_device(ham)
+    got = np.asarray(ham.apply_statevector_jax(jnp.asarray(v), diag))
+    np.testing.assert_allclose(got, want, atol=5e-4)
