@@ -244,11 +244,15 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         res.setdefault("error_mha", out.get("error_mha"))
         res.setdefault("chemical_accuracy", out.get("chemical_accuracy"))
     else:
+        from flow_guided_krylov_tpu.chem.ccsd import ccsd_reference_dict
         res["hf_energy"] = float(h.diagonal_np(h.get_hf_state()[None, :])[0])
         res["correlation_recovered"] = res["hf_energy"] - out["final_energy"]
         if "pt2_corrected_energy" in res:
             res["corrected_correlation"] = (res["hf_energy"]
                                             - res["pt2_corrected_energy"])
+        # active-space CCSD(T) oracle — the error bar FCI can't provide here
+        best = res.get("pt2_corrected_energy", out["final_energy"])
+        res.update(ccsd_reference_dict(h.integrals, float(best)))
     print(json.dumps(res))
     return res
 

@@ -221,3 +221,24 @@ def test_lattice_exact_full_mode(tmp_path, monkeypatch):
     out2 = val.run_exact_fullspace("heisenberg-hx", 10, 0.3)
     assert out2["oracle"] == "dense"
     assert abs(out2["error_mha"]) < 1e-6
+
+
+def test_moderate_benchmark_ccsd_fallback():
+    """FCI-infeasible branch: the CLI must report an active-space CCSD(T)
+    oracle error bar instead of HF-referenced energies (the reference's
+    CCSD fallback, ``moderate_system_benchmark.py:122-157``).  H2 with the
+    FCI limit forced to 1 exercises the branch; CCSD==FCI there, so the
+    pipeline error vs CCSD must be tiny."""
+    mod = load_example("moderate_system_benchmark")
+    mod.GEOMETRIES["h2_ccsd_test"] = ([("H", (0, 0, 0)),
+                                       ("H", (0, 0, 0.74))], "sto-3g")
+    old = mod.FCI_LIMIT
+    mod.FCI_LIMIT = 1
+    try:
+        out = mod.run("h2_ccsd_test", "fast")
+    finally:
+        mod.FCI_LIMIT = old
+    assert out["ccsd_converged"]
+    assert "error_vs_ccsd_mha" in out
+    assert abs(out["error_vs_ccsd_mha"]) < 0.1
+    assert out["ccsd_t_energy"] <= out["ccsd_energy"]
