@@ -21,6 +21,15 @@ import time
 
 import numpy as np
 
+# Pinned host baseline: steady-state rate of connections_batch_np (the
+# vectorized float64 NumPy mirror) on THIS idle single-core host, median of
+# warm trials, measured 2026-08-19 (round 4).  Pinned as a constant because
+# the live host rate varies ~6x with host state (page-cache/arena warmth,
+# concurrent work), which made the round-over-round vs_baseline ratio
+# meaningless (BENCH_r01-03: 156.8 / 333.5 / 50.67 at near-identical device
+# rates).  The live rate is still measured and reported as a diagnostic.
+HOST_BASELINE_ELEMENTS_PER_S = 12.6e6
+
 
 def main():
     import jax
@@ -74,11 +83,11 @@ def main():
         dt_dev = dt if dt_dev is None else min(dt_dev, dt)
     rate_dev = B * C / dt_dev
 
-    # host baseline (vectorized f64 numpy)
+    # live host rate (diagnostic only — the ratio uses the pinned constant)
     t0 = time.perf_counter()
     connections_batch_np(batch, h.tables)
     dt_host = time.perf_counter() - t0
-    rate_host = B * C / dt_host
+    rate_host_live = B * C / dt_host
 
     tta_s, tta_err, tta_basis = n2_time_to_accuracy()
 
@@ -86,7 +95,8 @@ def main():
         "metric": "matrix_elements_per_second",
         "value": round(rate_dev),
         "unit": "elements/s",
-        "vs_baseline": round(rate_dev / rate_host, 2),
+        "vs_baseline": round(rate_dev / HOST_BASELINE_ELEMENTS_PER_S, 2),
+        "host_rate_live": round(rate_host_live),
         # BASELINE.md target metric: end-to-end wall to <1.6 mHa on N2
         # (HF-seeded Selected-CI, the framework's fastest route; the
         # reference's best N2 is 13.82 mHa — it never reaches the bar)

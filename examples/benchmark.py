@@ -135,19 +135,28 @@ def main():
                     if k in out}
             print(json.dumps(keep))
 
-    print("\n" + "=" * 72)
-    print(f"{'molecule':<10}{'E_final':>14}{'E_FCI':>14}{'err (mHa)':>12}"
-          f"{'status':>9}{'time (s)':>10}")
-    print("-" * 72)
+    # side-by-side NF-only vs NF+Krylov per molecule, like the reference's
+    # headline table (/root/reference/examples/benchmark.py:95-241); the
+    # NF-only column comes from the same run's stage-2 energy
+    print("\n" + "=" * 86)
+    print(f"{'molecule':<10}{'E_final':>14}{'E_FCI':>14}"
+          f"{'NF-only (mHa)':>15}{'NF+Krylov (mHa)':>17}"
+          f"{'status':>7}{'time (s)':>9}")
+    print("-" * 86)
     n_pass = 0
     for out in rows:
         status = "PASS" if out.get("chemical_accuracy") else "FAIL"
         n_pass += status == "PASS"
+        exact = out.get("exact_energy")
+        nf_err = (1000 * (out["nf_energy"] - exact)
+                  if exact is not None and "nf_energy" in out
+                  else float("nan"))
         print(f"{out['molecule']:<10}{out['final_energy']:>14.6f}"
-              f"{out.get('exact_energy', float('nan')):>14.6f}"
-              f"{out.get('error_mha', float('nan')):>12.4f}"
-              f"{status:>9}{out['total_time']:>10.1f}")
-    print("=" * 72)
+              f"{exact if exact is not None else float('nan'):>14.6f}"
+              f"{nf_err:>15.4f}"
+              f"{out.get('error_mha', float('nan')):>17.4f}"
+              f"{status:>7}{out['total_time']:>9.1f}")
+    print("=" * 86)
     print(f"{n_pass}/{len(rows)} within chemical accuracy "
           f"({CHEMICAL_ACCURACY_MHA} mHa)")
     sys.exit(0 if n_pass == len(rows) else 1)
