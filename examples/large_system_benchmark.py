@@ -151,6 +151,26 @@ def cr2():
     return MolecularHamiltonian(act)
 
 
+@register("ozone_ccpvdz_32o")
+def ozone_ccpvdz_32o():
+    """O3/cc-pVDZ (18e, 32o) — the single-word 32-orbital ceiling on a
+    real correlated system (round-4 frontier: valence + 20 virtuals of
+    the 42-orbital space, 1s cores frozen).  C(32,9)^2 = 8.1e15 configs:
+    far beyond enumeration, exactly the regime HF-seeded SCI owns."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ang = np.radians(116.8 / 2)
+    r = 1.278
+    geom = [("O", (0.0, 0.0, 0.0)),
+            ("O", (r * np.sin(ang), r * np.cos(ang), 0.0)),
+            ("O", (-r * np.sin(ang), r * np.cos(ang), 0.0))]
+    ints = compute_molecular_integrals(geom, basis="cc-pvdz")
+    act = compute_active_space_integrals(ints, n_frozen=3, n_active=32)
+    return MolecularHamiltonian(act)
+
+
 @register("n2_ccpvdz")
 def n2_ccpvdz():
     """N2/cc-pVDZ (10e, 14o) valence active space

@@ -90,9 +90,10 @@ def basis_energy(ham, basis: np.ndarray) -> float:
 def make_hamiltonian(model: str, n_spins: int, h_field: float):
     from flow_guided_krylov_tpu.hamiltonians import (HeisenbergHamiltonian,
                                                      TransverseFieldIsing)
+    from flow_guided_krylov_tpu.hamiltonians.spin import pack_spin_state
     if model == "tfim":
         ham = TransverseFieldIsing(n_spins, V=1.0, h=h_field, periodic=True)
-        init = np.array([0], np.uint32)                  # |0...0>
+        init = pack_spin_state(0, n_spins)               # |0...0>
     elif model == "heisenberg-hx":
         # non-conserving chain: a uniform transverse field breaks S_z
         # conservation, so the solvers face the FULL 2^n space (no
@@ -100,7 +101,7 @@ def make_hamiltonian(model: str, n_spins: int, h_field: float):
         ham = HeisenbergHamiltonian(n_spins, 1.0, 1.0, 1.0,
                                     h_x=np.full(n_spins, h_field))
         neel = sum(1 << i for i in range(0, n_spins, 2))
-        init = np.array([neel], np.uint32)
+        init = pack_spin_state(neel, n_spins)
     else:
         # small h_z perturbation on site 0 breaks the ground degeneracy
         # (reference ``skqd_lattice_validation.py:296-316``)
@@ -108,7 +109,7 @@ def make_hamiltonian(model: str, n_spins: int, h_field: float):
         h_z[0] = h_field
         ham = HeisenbergHamiltonian(n_spins, 1.0, 1.0, 1.0, h_z=h_z)
         neel = sum(1 << i for i in range(0, n_spins, 2))
-        init = np.array([neel], np.uint32)
+        init = pack_spin_state(neel, n_spins)
     return ham, init
 
 
@@ -414,18 +415,33 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
     from flow_guided_krylov_tpu.krylov import (
         ResidualExpansionConfig, SKQDConfig,
         SampleBasedKrylovDiagonalization, iterative_residual_expansion)
+    from flow_guided_krylov_tpu.hamiltonians.spin import (pack_spin_state,
+                                                          spin_state_int)
     ham, init = make_hamiltonian(model, n_spins, h_field)
     # conserving models: force the enumerated-sector path even when the
     # sector's ELL table exceeds the (conservative) connection-table
     # budget — the oracle only builds the table transiently, and a
     # 10.4M-state C(26,13) sector at 27 entries/state (~2.3 GB) fits HBM
     conserving = getattr(ham, "conserves_magnetization", False)
-    skqd = SampleBasedKrylovDiagonalization(
-        ham, SKQDConfig(evolution="ell" if conserving else "auto"),
-        initial_state=init)
+    multiword = getattr(ham, "pack_words", 1) == 2
+    if multiword:
+        # 32..64 sites (the 2xuint32 frontier): the SKQD sector machinery
+        # is single-word, and these sectors are beyond enumeration anyway
+        # (C(32,16) = 601M states) — go straight to the SCI + MPS oracle
+        from math import comb as _comb_
+        skqd = None
+        n_up = int(bin(spin_state_int(init)).count("1"))
+        sector_dim = _comb_(n_spins, n_up) if conserving else (1 << n_spins)
+        has_subspace = conserving
+    else:
+        skqd = SampleBasedKrylovDiagonalization(
+            ham, SKQDConfig(evolution="ell" if conserving else "auto"),
+            initial_state=init)
+        sector_dim = skqd.dim
+        has_subspace = skqd.subspace is not None
     oracle = None
-    if skqd.subspace is not None:
-        if skqd.dim <= SECTOR_ORACLE_MAX_DIM:
+    if has_subspace:
+        if skqd is not None and sector_dim <= SECTOR_ORACLE_MAX_DIM:
             e_exact = skqd.exact_subspace_energy()
             oracle = "sector-lanczos+f64-refine"
         else:
@@ -447,10 +463,11 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
             # and DMRG relaxes into the true ground sector; flip the Neel
             # seed's parity if it sits in the other one so the SCI
             # explores the sector the oracle energy belongs to.
-            init_sz = int(bin(int(init[0])).count("1")) - n_spins / 2.0
+            init_sz = int(bin(spin_state_int(init)).count("1")) \
+                - n_spins / 2.0
             if want_sz and init_sz * dinfo["total_sz"] < 0:
-                init = np.array(
-                    [sum(1 << i for i in range(1, n_spins, 2))], np.uint32)
+                init = pack_spin_state(
+                    sum(1 << i for i in range(1, n_spins, 2)), n_spins)
                 print(f"  (odd chain: DMRG ground sector S_z="
                       f"{dinfo['total_sz']:+.2f}; Neel seed flipped)")
             oracle = (f"dmrg(m={dinfo['max_bond']}, "
@@ -483,21 +500,20 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                     exact_fullspace_ground_state
                 e_exact = exact_fullspace_ground_state(ham)["energy"]
                 oracle = "fullspace-lanczos+slab-refine"
-            except MemoryError:
+            except (MemoryError, NotImplementedError):
                 e_exact = None
     cfg = ResidualExpansionConfig(
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
         source_screen=screen,
-        max_basis_size=min(skqd.dim if skqd.subspace is not None
-                           else 1 << n_spins, max_basis))
+        max_basis_size=min(sector_dim, max_basis))
     t0 = time.time()
     out = iterative_residual_expansion(ham, init[None, :], cfg,
                                        verbose=True, pt2_correct=True,
                                        pt2_cap=pt2_cap or None)
     res = {"experiment": "large-sci", "model": model, "n_spins": n_spins,
-           "h": h_field, "sector_dim": int(skqd.dim),
+           "h": h_field, "sector_dim": int(sector_dim),
            "final_energy": float(out["energy"]),
            "basis_size": int(len(out["basis"])),
            "iterations": int(out["n_iterations"]),

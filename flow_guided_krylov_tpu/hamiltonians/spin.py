@@ -11,14 +11,17 @@ Counterparts of ``/root/reference/src/hamiltonians/spin.py``:
 * :func:`extract_coeffs_and_paulis` — spin H -> Pauli words for the
   circuit-based Krylov sampler (``spin.py:346-434``).
 
-TPU-first: configs are (B, 1) uint32 words; connections are static-shaped
-(every config has the same flip slots; forbidden flips carry a zero
-element), so batches jit cleanly.
+TPU-first: configs are (B, W) uint32 words — W=1 for n <= 31 spins, W=2
+(columns [hi, lo]: sites 0..31 in the LOW word, 32..63 in the HIGH word)
+for 32..64 spins, so the base-class uint64 sort/dedup keys
+((w0 << 32) | w1) stay monotone in the integer state value.  Connections
+are static-shaped (every config has the same flip slots; forbidden flips
+carry a zero element), so batches jit cleanly.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,14 +29,60 @@ from .base import Hamiltonian
 
 __all__ = ["HeisenbergHamiltonian", "TransverseFieldIsing",
            "create_heisenberg_hamiltonian", "create_tfim_hamiltonian",
-           "extract_coeffs_and_paulis"]
+           "extract_coeffs_and_paulis", "pack_spin_state",
+           "spin_state_int"]
+
+MAX_SPINS = 64
+
+
+def _spin_words(n: int) -> int:
+    """uint32 words per config: 1 for n <= 31 (the original single-word
+    layout), 2 for 32..64 (the multi-word frontier, VERDICT r3 item 2)."""
+    return 1 if n <= 31 else 2
+
+
+def pack_spin_state(x: int, n: int) -> np.ndarray:
+    """Python-int spin configuration -> (W,) uint32 packed row."""
+    if _spin_words(n) == 1:
+        return np.array([x], np.uint32)
+    return np.array([(x >> 32) & 0xFFFFFFFF, x & 0xFFFFFFFF], np.uint32)
+
+
+def spin_state_int(row: np.ndarray) -> int:
+    """(W,) uint32 packed row -> Python-int spin configuration."""
+    row = np.asarray(row).reshape(-1)
+    if row.shape[0] == 1:
+        return int(row[0])
+    return (int(row[0]) << 32) | int(row[1])
+
+
+def _site_mask(sites: Sequence[int], W: int) -> np.ndarray:
+    """XOR mask (W,) uint32 flipping the given sites."""
+    m = np.zeros(W, np.uint32)
+    for s in sites:
+        col = W - 1 - (s // 32)          # low word is the LAST column
+        m[col] |= np.uint32(1 << (s % 32))
+    return m
+
+
+def _bit_np(packed: np.ndarray, s: int) -> np.ndarray:
+    """(B, W) uint32, site index -> (B,) uint32 occupation bit."""
+    W = packed.shape[1]
+    col = W - 1 - (s // 32)
+    return (packed[:, col] >> np.uint32(s % 32)) & np.uint32(1)
 
 
 def _spins(packed: np.ndarray, n: int) -> np.ndarray:
-    """(B,) uint -> (B, n) {-1,+1} float64."""
-    shifts = np.arange(n, dtype=np.uint32)
-    bits = ((packed[:, None] >> shifts) & 1).astype(np.float64)
-    return 2.0 * bits - 1.0
+    """(B, W) packed -> (B, n) {-1,+1} float64."""
+    packed = np.atleast_2d(packed)
+    lo = packed[:, -1]
+    shifts = np.arange(min(n, 32), dtype=np.uint32)
+    bits = ((lo[:, None] >> shifts) & 1)
+    if n > 32:
+        hi = packed[:, 0]
+        shifts_hi = np.arange(n - 32, dtype=np.uint32)
+        bits = np.concatenate([bits, (hi[:, None] >> shifts_hi) & 1], axis=1)
+    return 2.0 * bits.astype(np.float64) - 1.0
 
 
 def _flip1(v: np.ndarray, i: int, n: int) -> np.ndarray:
@@ -133,7 +182,18 @@ def _flip2_anti_jax(v, i: int, j: int, n: int):
 
 
 class _SpinBase(Hamiltonian):
-    pack_words = 1
+    pack_words = 1          # overridden per instance for n > 31
+
+    def _init_packing(self, num_spins: int) -> None:
+        if num_spins > MAX_SPINS:
+            raise NotImplementedError(
+                f"packed 2xuint32 supports <= {MAX_SPINS} spins")
+        self.pack_words = _spin_words(num_spins)
+        # key layout for the device PT2 sort: W=2 words carry full 32-bit
+        # halves, so a (a << k) | b uint32 pack is never possible — the
+        # scoring kernels fall back to 2-key lexicographic sorts
+        self.key_bits_per_word = 32 if self.pack_words == 2 \
+            else min(num_spins, 32)
 
     def exact_dense(self) -> np.ndarray:
         """Dense H over the full 2^n space (for n <= ~14; test oracle)."""
@@ -150,6 +210,9 @@ class _SpinBase(Hamiltonian):
 
     def full_diagonal_np(self) -> np.ndarray:
         """f64 diagonal over the full 2^n space (chunked, cached)."""
+        if self.pack_words != 1:
+            raise NotImplementedError(
+                "full-2^n statevector routes require n <= 31 spins")
         cached = getattr(self, "_full_diag_np", None)
         if cached is None:
             dim = 1 << self.n_sites
@@ -166,6 +229,9 @@ class _SpinBase(Hamiltonian):
                              diag: Optional[np.ndarray] = None) -> np.ndarray:
         """H @ v over the full 2^n space, float64, on the host."""
         n = self.n_sites
+        if self.pack_words != 1:
+            raise NotImplementedError(
+                "full-2^n statevector routes require n <= 31 spins")
         v = np.asarray(v, np.float64).reshape(-1)
         if v.shape[0] != (1 << n):
             raise ValueError(f"expected a full 2^{n} statevector")
@@ -201,8 +267,7 @@ class HeisenbergHamiltonian(_SpinBase):
                  Jz: float = 1.0, h_x: Optional[np.ndarray] = None,
                  h_y: Optional[np.ndarray] = None,
                  h_z: Optional[np.ndarray] = None, periodic: bool = False):
-        if num_spins > 31:
-            raise NotImplementedError("packed uint32 supports <= 31 spins")
+        self._init_packing(num_spins)
         # The connection kernels implement the XXZ flip-flop (Jx+Jy)/4 on
         # antiparallel bonds; anisotropic-XY (Jx != Jy) adds parallel-bond
         # (XX-YY)/4 flips and an h_y field adds Y single-spin terms, neither
@@ -246,9 +311,8 @@ class HeisenbergHamiltonian(_SpinBase):
         return len(self.bonds) + (self.n_sites if self._has_x_field else 0)
 
     def diagonal_np(self, packed: np.ndarray) -> np.ndarray:
-        packed = np.atleast_2d(packed)[:, 0]
-        s = _spins(packed, self.n_sites)
-        diag = np.zeros(len(packed))
+        s = _spins(np.atleast_2d(packed), self.n_sites)
+        diag = np.zeros(s.shape[0])
         for i, j in self.bonds:
             diag += self.Jz / 4.0 * s[:, i] * s[:, j]
         diag += (s * (self.h_z / 2.0)).sum(axis=1)
@@ -256,23 +320,21 @@ class HeisenbergHamiltonian(_SpinBase):
 
     def connections_np(self, packed: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        packed = np.atleast_2d(packed)[:, 0].astype(np.uint32)
-        B = len(packed)
+        packed = np.atleast_2d(packed).astype(np.uint32)
+        B, W = packed.shape
         conns = []
         elems = []
         # bond flips: element (Jx+Jy)/4 when antiparallel, else 0
         for i, j in self.bonds:
-            mask = np.uint32((1 << i) | (1 << j))
-            bi = (packed >> np.uint32(i)) & 1
-            bj = (packed >> np.uint32(j)) & 1
-            anti = (bi != bj)
-            conns.append(packed ^ mask)
+            mask = _site_mask((i, j), W)
+            anti = _bit_np(packed, i) != _bit_np(packed, j)
+            conns.append(packed ^ mask[None, :])
             elems.append(np.where(anti, (self.Jx + self.Jy) / 4.0, 0.0))
         if self._has_x_field:
             for i in range(self.n_sites):
-                conns.append(packed ^ np.uint32(1 << i))
+                conns.append(packed ^ _site_mask((i,), W)[None, :])
                 elems.append(np.full(B, self.h_x[i] / 2.0))
-        conn = np.stack(conns, axis=1)[..., None]       # (B, C, 1)
+        conn = np.stack(conns, axis=1)                  # (B, C, W)
         el = np.stack(elems, axis=1)
         return conn.astype(np.uint32), el
 
@@ -306,8 +368,7 @@ class HeisenbergHamiltonian(_SpinBase):
 class TransverseFieldIsing(_SpinBase):
     def __init__(self, num_spins: int, V: float = 1.0, h: float = 1.0,
                  L: int = 1, periodic: bool = True):
-        if num_spins > 31:
-            raise NotImplementedError("packed uint32 supports <= 31 spins")
+        self._init_packing(num_spins)
         self.n_sites = num_spins
         self.num_sites = num_spins
         self.V, self.h, self.L = V, h, L
@@ -326,19 +387,19 @@ class TransverseFieldIsing(_SpinBase):
         return self.n_sites
 
     def diagonal_np(self, packed: np.ndarray) -> np.ndarray:
-        packed = np.atleast_2d(packed)[:, 0]
-        s = _spins(packed, self.n_sites)
-        diag = np.zeros(len(packed))
+        s = _spins(np.atleast_2d(packed), self.n_sites)
+        diag = np.zeros(s.shape[0])
         for i, j in self.edges:
             diag -= self.V * s[:, i] * s[:, j]
         return diag
 
     def connections_np(self, packed: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        packed = np.atleast_2d(packed)[:, 0].astype(np.uint32)
-        B = len(packed)
-        conns = [packed ^ np.uint32(1 << i) for i in range(self.n_sites)]
-        conn = np.stack(conns, axis=1)[..., None]
+        packed = np.atleast_2d(packed).astype(np.uint32)
+        B, W = packed.shape
+        conns = [packed ^ _site_mask((i,), W)[None, :]
+                 for i in range(self.n_sites)]
+        conn = np.stack(conns, axis=1)                  # (B, C, W)
         el = np.full((B, self.n_sites), -self.h)
         return conn.astype(np.uint32), el
 
@@ -417,67 +478,86 @@ def extract_coeffs_and_paulis(hamiltonian) -> Tuple[List[float], List[str]]:
 # ---------------------------------------------------------------------------
 
 def _spin_device_ops(ham):
-    """Build (diagonal_fn, connections_fn) closures in jnp for a spin H."""
+    """Build (diagonal_fn, connections_fn) closures in jnp for a spin H.
+
+    Handles both packings: W=1 (n <= 31) and W=2 ([hi, lo] for 32..64
+    sites).  Per-site bit tests gather the right word column; flip masks
+    are precomputed (C, W) uint32 tables XORed against the batch."""
     import jax
     import jax.numpy as jnp
 
     n = ham.n_sites
+    W = ham.pack_words
 
     def spins_of(packed):
-        shifts = jnp.arange(n, dtype=jnp.uint32)
-        bits = ((packed[:, None] >> shifts) & jnp.uint32(1)).astype(
-            jnp.float32)
-        return 2.0 * bits - 1.0
+        """(B, W) -> (B, n) f32 in {-1, +1}."""
+        lo = packed[:, W - 1]
+        shifts = jnp.arange(min(n, 32), dtype=jnp.uint32)
+        bits = (lo[:, None] >> shifts) & jnp.uint32(1)
+        if n > 32:
+            hi = packed[:, 0]
+            sh = jnp.arange(n - 32, dtype=jnp.uint32)
+            bits = jnp.concatenate(
+                [bits, (hi[:, None] >> sh) & jnp.uint32(1)], axis=1)
+        return 2.0 * bits.astype(jnp.float32) - 1.0
+
+    def site_cols_shifts(sites):
+        cols = np.array([W - 1 - (s // 32) for s in sites], np.int32)
+        shifts = np.array([s % 32 for s in sites], np.uint32)
+        return jnp.asarray(cols), jnp.asarray(shifts)
+
+    def masks_for(groups):
+        """list of site tuples -> (C, W) uint32 XOR masks."""
+        return jnp.asarray(np.stack([_site_mask(g, W) for g in groups]))
 
     if isinstance(ham, TransverseFieldIsing):
         edges = jnp.asarray(np.array(ham.edges, np.int32).reshape(-1, 2))
         V, hf = float(ham.V), float(ham.h)
+        flip_masks = masks_for([(i,) for i in range(n)])
 
         @jax.jit
         def diagonal(packed):
-            s = spins_of(packed[:, 0])
+            s = spins_of(packed)
             return -V * jnp.sum(s[:, edges[:, 0]] * s[:, edges[:, 1]], -1)
-
-        flips = jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)
 
         @jax.jit
         def connections(packed):
-            conn = (packed[:, 0:1] ^ flips[None, :])[..., None]
+            conn = packed[:, None, :] ^ flip_masks[None, :, :]
             elems = jnp.full((packed.shape[0], n), -hf, jnp.float32)
             return conn, elems
 
         return diagonal, connections
 
     if isinstance(ham, HeisenbergHamiltonian):
-        bonds = jnp.asarray(np.array(ham.bonds, np.int32).reshape(-1, 2))
         Jz = float(ham.Jz)
         Jxy4 = float((ham.Jx + ham.Jy) / 4.0)
         hz = jnp.asarray(ham.h_z, jnp.float32)
         hx = jnp.asarray(ham.h_x, jnp.float32)
         has_x = bool(np.any(np.abs(ham.h_x) > 1e-10))
+        bonds_np = np.array(ham.bonds, np.int32).reshape(-1, 2)
+        bonds = jnp.asarray(bonds_np)
+        bond_masks = masks_for([tuple(b) for b in bonds_np])
+        ci, si = site_cols_shifts(bonds_np[:, 0])
+        cj, sj = site_cols_shifts(bonds_np[:, 1])
+        flip_masks = masks_for([(i,) for i in range(n)])
 
         @jax.jit
         def diagonal(packed):
-            s = spins_of(packed[:, 0])
+            s = spins_of(packed)
             zz = Jz / 4.0 * jnp.sum(s[:, bonds[:, 0]] * s[:, bonds[:, 1]], -1)
             return zz + jnp.sum(s * (hz / 2.0)[None, :], -1)
 
-        bond_masks = ((jnp.uint32(1) << bonds[:, 0].astype(jnp.uint32))
-                      | (jnp.uint32(1) << bonds[:, 1].astype(jnp.uint32)))
-        flips = jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)
-
         @jax.jit
         def connections(packed):
-            b = packed[:, 0]
-            bi = (b[:, None] >> bonds[None, :, 0].astype(jnp.uint32)) & 1
-            bj = (b[:, None] >> bonds[None, :, 1].astype(jnp.uint32)) & 1
+            bi = (packed[:, ci] >> si[None, :]) & jnp.uint32(1)
+            bj = (packed[:, cj] >> sj[None, :]) & jnp.uint32(1)
             anti = (bi != bj).astype(jnp.float32)
-            conn_b = (b[:, None] ^ bond_masks[None, :])[..., None]
+            conn_b = packed[:, None, :] ^ bond_masks[None, :, :]
             el_b = anti * Jxy4
             if has_x:
-                conn_x = (b[:, None] ^ flips[None, :])[..., None]
+                conn_x = packed[:, None, :] ^ flip_masks[None, :, :]
                 el_x = jnp.broadcast_to((hx / 2.0)[None, :],
-                                        (b.shape[0], n))
+                                        (packed.shape[0], n))
                 return (jnp.concatenate([conn_b, conn_x], 1),
                         jnp.concatenate([el_b, el_x], 1))
             return conn_b, el_b

@@ -361,6 +361,8 @@ class SelectedCIExpander:
         # problem size, so the packed variant sorts (key, contrib) only
         n_bits = getattr(getattr(h, "tables", None), "n_orb", None)
         if n_bits is None:
+            n_bits = getattr(h, "key_bits_per_word", None)
+        if n_bits is None:
             n_bits = h.n_sites if W == 1 else 16
         packable = (W == 1) or (2 * n_bits <= 32)
 
@@ -591,6 +593,8 @@ class SelectedCIExpander:
         coeffs = np.asarray(coeffs, np.float64)
 
         n_bits = getattr(getattr(h, "tables", None), "n_orb", None)
+        if n_bits is None:
+            n_bits = getattr(h, "key_bits_per_word", None)
         if n_bits is None:
             n_bits = h.n_sites if W == 1 else 16
         packable = (W == 1) or (2 * n_bits <= 32)

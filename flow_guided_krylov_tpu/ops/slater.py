@@ -71,8 +71,13 @@ class SlaterTables:
 def build_tables(h1: np.ndarray, h2: np.ndarray, e_nuc: float,
                  n_alpha: int, n_beta: int) -> SlaterTables:
     n = h1.shape[0]
-    if n > 31:
-        raise NotImplementedError("packed uint32 determinants support n_orb <= 31")
+    # one uint32 word per spin channel holds exactly 32 orbitals: every
+    # shift in the kernels uses orbital INDICES (<= 31), and the uint64
+    # dedup key (alpha << 32) | beta still fits, so n_orb = 32 is the true
+    # single-word ceiling (round-4: was conservatively capped at 31)
+    if n > 32:
+        raise NotImplementedError(
+            "packed uint32 determinants support n_orb <= 32")
     r = np.arange(n)
     jj = h2[:, :, r, r]                       # (n, n, n) -> jj[p,q,r]=(pq|rr)
     ex = np.empty((n, n, n))                  # ex[p,q,r] = (pr|rq) = h2[p,r,r,q]
