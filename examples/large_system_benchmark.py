@@ -216,7 +216,8 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
                                        verbose=True, pt2_correct=True,
                                        pt2_cap=pt2_cap or None)
     e = float(out["energy"])
-    res = {"final_energy": e, "basis_size": int(len(out["basis"]))}
+    res = {"final_energy": e, "basis_size": int(len(out["basis"])),
+           "_basis": out["basis"]}
     if "pt2_de2" in out:
         res["pt2_de2"] = out["pt2_de2"]
         res["pt2_corrected_energy"] = out["pt2_corrected_energy"]
@@ -230,22 +231,65 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
     return res
 
 
+def run_restricted_skqd(h, exact, basis, e_sci: float,
+                        krylov_dim: int = 6, shots: int = 100_000,
+                        dt: float = 0.1) -> dict:
+    """Stage 4 at the frontier: restricted-subspace SKQD on top of a
+    Selected-CI basis (round-4; reference full-space SKQD never reaches
+    these system sizes).  Evolution acts within (basis + top PT2
+    externals) sized to the device propagator; sampling the evolved
+    state discovers determinants stage 3 missed."""
+    import time as _time
+    from flow_guided_krylov_tpu.krylov import FlowGuidedSKQD, SKQDConfig
+    from flow_guided_krylov_tpu.krylov.skqd import (
+        build_restricted_subspace, supported_evolution_dim)
+    t0 = _time.time()
+    cap = supported_evolution_dim(h, None)
+    states = build_restricted_subspace(h, basis, cap,
+                                       initial_state=h.get_hf_state())
+    skqd = FlowGuidedSKQD(
+        h, basis,
+        SKQDConfig(max_krylov_dim=krylov_dim, shots_per_krylov=shots,
+                   time_step=dt, verbose=True),
+        initial_state=h.get_hf_state(), subspace_states=states)
+    out = skqd.run_with_nf(final_only=True)
+    e4 = float(out["best_stable_energy"])
+    res = {
+        "skqd_restricted_dim": int(len(states)),
+        "skqd_propagator_cap": int(cap),
+        "skqd_energy": e4,
+        "skqd_combined_size": int(out["combined_sizes"][-1]),
+        "skqd_configs_added": int(out["combined_sizes"][-1] - len(basis)),
+        "skqd_improvement_mha": 1000.0 * (e_sci - min(e4, e_sci)),
+        "skqd_wall_s": round(_time.time() - t0, 1),
+    }
+    if exact is not None:
+        res["skqd_error_mha"] = 1000.0 * (min(e4, e_sci) - exact)
+    return res
+
+
 def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_iters: int = 80, sci_per_iter: int = 600,
         sci_max_basis: int = 50_000, sci_growth: float = 0.0,
         sci_threshold: float = 1e-4, sci_screen: float = 0.0,
-        sci_pt2_cap: int = 0) -> dict:
+        sci_pt2_cap: int = 0, krylov_dim: int = 6,
+        shots: int = 100_000) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
     h = SYSTEMS[system]()
     n_valid = h.n_valid_configs
     exact = h.fci_energy() if n_valid <= 100_000 else None
-    if mode == "sci":
+    if mode in ("sci", "sci+skqd"):
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
                       per_iter=sci_per_iter, growth=sci_growth,
                       threshold=sci_threshold, screen=sci_screen,
                       pt2_cap=sci_pt2_cap)
+        if mode == "sci+skqd":
+            out.update(run_restricted_skqd(h, exact, out.pop("_basis"),
+                                           out["final_energy"],
+                                           krylov_dim=krylov_dim,
+                                           shots=shots))
     else:
         cfg = SystemScaler(n_valid, QualityPreset(preset_name)
                            ).create_pipeline_config(verbose=False)
@@ -256,9 +300,10 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         "n_active_electrons": h.n_electrons, "n_valid": n_valid,
         "final_energy": out["final_energy"],
     }
-    if mode == "sci":
-        # run_sci returns only scalars (incl. the PT2-corrected record)
-        res.update({k: v for k, v in out.items() if k != "final_energy"})
+    if mode in ("sci", "sci+skqd"):
+        # run_sci returns scalars (incl. the PT2-corrected record)
+        res.update({k: v for k, v in out.items()
+                    if k not in ("final_energy", "_basis")})
     if exact is not None:
         res["exact_energy"] = exact
         res.setdefault("error_mha", out.get("error_mha"))
@@ -284,8 +329,12 @@ def main():
     p.add_argument("--preset", default="fast",
                    choices=["fast", "balanced", "accurate"])
     p.add_argument("--mode", default="pipeline",
-                   choices=["pipeline", "sci"],
-                   help="sci = HF-seeded Selected-CI only (no flow)")
+                   choices=["pipeline", "sci", "sci+skqd"],
+                   help="sci = HF-seeded Selected-CI only (no flow); "
+                        "sci+skqd adds restricted-subspace SKQD on top "
+                        "(stage 4 at the frontier)")
+    p.add_argument("--krylov-dim", type=int, default=6)
+    p.add_argument("--shots", type=int, default=100_000)
     p.add_argument("--sci-iters", type=int, default=80)
     p.add_argument("--sci-per-iter", type=int, default=600)
     p.add_argument("--sci-max-basis", type=int, default=50_000)
@@ -306,7 +355,8 @@ def main():
     run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
         sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis,
         sci_growth=args.sci_growth, sci_threshold=args.sci_threshold,
-        sci_screen=args.sci_screen, sci_pt2_cap=args.sci_pt2_cap)
+        sci_screen=args.sci_screen, sci_pt2_cap=args.sci_pt2_cap,
+        krylov_dim=args.krylov_dim, shots=args.shots)
 
 
 if __name__ == "__main__":

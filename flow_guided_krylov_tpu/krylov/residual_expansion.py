@@ -526,6 +526,19 @@ class SelectedCIExpander:
         scores = coupling ** 2 / denom
         return cand, scores
 
+    def rank_external_candidates(self, basis: np.ndarray
+                                 ) -> Tuple[np.ndarray, np.ndarray, float,
+                                            np.ndarray]:
+        """Diagonalize ``basis`` and PT2-rank its external candidates.
+
+        Public wrapper used by the restricted-SKQD subspace builder
+        (``krylov/skqd.py``): returns (candidates (M, W), scores (M,),
+        variational energy, ground coefficients)."""
+        basis = np.atleast_2d(np.asarray(basis, np.uint32))
+        e, coeffs = self._diagonalize(basis)
+        cand, scores = self._pt2_candidates(basis, coeffs, e)
+        return cand, scores, e, coeffs
+
     def expand_basis(self, basis: np.ndarray,
                      n_add: Optional[int] = None) -> Dict:
         """One expansion round with variational rejection

@@ -577,18 +577,36 @@ class FlowGuidedKrylovPipeline:
 
         # skip heuristics (reference ``pipeline.py:645-697``)
         skip_reason = None
+        restricted_states = None
         if c.skip_skqd:
             skip_reason = "config.skip_skqd"
         elif c.max_krylov_dim <= 0:
             skip_reason = "max_krylov_dim <= 0"
         elif self.is_molecular and self.n_valid > max(
                 200_000, self._supported_evolution_dim()):
-            # the cap derives from what the routed propagator actually
-            # supports (dense MXU rows or the mesh-sharded ELL table), with
-            # the host-scipy f64 path good to ~200k determinants
-            skip_reason = (f"subspace too large for SKQD evolution "
-                           f"({self.n_valid:,} configs, propagator cap "
-                           f"{self._supported_evolution_dim():,})")
+            # Full-space evolution is out of reach; instead of skipping
+            # (the round-3 behavior), evolve within a RESTRICTED subspace:
+            # the stage-3 basis plus the strongest PT2-ranked externals,
+            # sized to what the routed propagator actually supports
+            # (dense MXU rows or the ELL table).  Sampling the evolved
+            # state still discovers determinants the variational stages
+            # missed — the regime the reference documents as NECESSARY on
+            # N2/CH4 (SKQD_VALIDATION_REPORT.md:155-186).
+            cap = self._supported_evolution_dim()
+            min_room = max(64, len(residual_basis) // 10)
+            if cap < len(residual_basis) + min_room:
+                skip_reason = (f"propagator cap {cap:,} leaves no room "
+                               f"beyond the {len(residual_basis):,}-config "
+                               f"stage-3 basis")
+            else:
+                from .krylov.skqd import build_restricted_subspace
+                restricted_states = build_restricted_subspace(
+                    self.h, residual_basis, cap,
+                    initial_state=self.hf_state, mesh=self.mesh)
+                if c.verbose:
+                    print(f"  restricted evolution subspace: "
+                          f"{len(restricted_states):,} states "
+                          f"(full space {self.n_valid:,})")
         elif not self.is_molecular and self.h.n_sites > \
                 self._statevector_sites_cap():
             # spin systems beyond the subspace cap evolve a full 2^n
@@ -631,7 +649,8 @@ class FlowGuidedKrylovPipeline:
                        regularization=c.skqd_regularization,
                        seed=c.seed,
                        verbose=c.verbose),
-            initial_state=self.hf_state, mesh=self.mesh)
+            initial_state=self.hf_state, mesh=self.mesh,
+            subspace_states=restricted_states)
         out = skqd.run_with_nf()
 
         skqd_energy = out["best_stable_energy"]
@@ -653,6 +672,8 @@ class FlowGuidedKrylovPipeline:
             "skqd_energy": float(skqd_energy),
             "final_energy": float(final),
         }
+        if restricted_states is not None:
+            self.results["stage4"]["restricted_dim"] = len(restricted_states)
         if c.verbose and self.exact_energy is not None:
             print(f"  SKQD E={skqd_energy:.6f} "
                   f"err={1000 * (skqd_energy - self.exact_energy):+.3f} mHa")

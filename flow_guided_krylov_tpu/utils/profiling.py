@@ -94,9 +94,29 @@ def clear_compilation_cache(path: str = _CACHE_DIR) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` actually stick.
+
+    The axon TPU plugin registers itself regardless of the env var, so a
+    CLI run under ``JAX_PLATFORMS=cpu`` still places every jnp array on
+    the TPU tunnel (and can block forever if a previous client is
+    draining).  Mirroring the env var into ``jax.config`` — what
+    tests/conftest.py already does — forces the requested platform for
+    the example CLIs too."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
+
+
 def run_with_cache_retry(fn, *args, **kwargs):
     """Run fn; on a FAILED_PRECONDITION / compile-cache-skew error, clear
     the persistent cache and retry once with fresh compiles."""
+    honor_platform_env()
     try:
         return fn(*args, **kwargs)
     except Exception as e:  # noqa: BLE001 - intentional broad retry gate

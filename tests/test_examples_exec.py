@@ -242,3 +242,32 @@ def test_moderate_benchmark_ccsd_fallback():
     assert "error_vs_ccsd_mha" in out
     assert abs(out["error_vs_ccsd_mha"]) < 0.1
     assert out["ccsd_t_energy"] <= out["ccsd_energy"]
+
+
+def test_large_benchmark_sci_skqd_mode():
+    """--mode sci+skqd: restricted-subspace SKQD glue on top of the
+    Selected-CI stage (round-4 stage-4-at-the-frontier route)."""
+    large = load_example("large_system_benchmark")
+    if "h2o_tiny_test" not in large.SYSTEMS:
+        def h2o_tiny():
+            from flow_guided_krylov_tpu.chem import \
+                compute_molecular_integrals
+            from flow_guided_krylov_tpu.chem.active_space import \
+                compute_active_space_integrals
+            from flow_guided_krylov_tpu.hamiltonians import \
+                MolecularHamiltonian
+            ang = np.radians(104.5)
+            geom = [("O", (0, 0, 0)), ("H", (0.96, 0, 0)),
+                    ("H", (0.96 * np.cos(ang), 0.96 * np.sin(ang), 0))]
+            ints = compute_molecular_integrals(geom)
+            act = compute_active_space_integrals(ints, n_frozen=2,
+                                                 n_active=4)
+            return MolecularHamiltonian(act)
+        large.SYSTEMS["h2o_tiny_test"] = h2o_tiny
+    out = large.run("h2o_tiny_test", mode="sci+skqd", sci_iters=3,
+                    sci_per_iter=4, sci_max_basis=12, krylov_dim=3,
+                    shots=4000)
+    assert out["skqd_restricted_dim"] >= out["basis_size"]
+    assert "skqd_energy" in out and "skqd_error_mha" in out
+    # stage 4 must never worsen the reported energy
+    assert out["skqd_energy"] <= out["final_energy"] + 1e-9
