@@ -289,8 +289,11 @@ class SelectedCIExpander:
                     # eigsh's.
                     from ..postprocessing.eigensolver import DavidsonSolver
                     dav = DavidsonSolver(tol=1e-7)
-                    dvals, dvecs = dav.solve(lambda v: M @ v,
-                                             np.asarray(M.diagonal()), v0=v0)
+                    # exact diagonal from the Hamiltonian: M may be a
+                    # streaming LinearOperator (incremental-staircase path)
+                    # with no .diagonal()
+                    dvals, dvecs = dav.solve(
+                        lambda v: M @ v, self.h.diagonal_np(basis), v0=v0)
                     if dav.converged:
                         e, vec = float(dvals[0]), dvecs[:, 0]
                 if e is None:

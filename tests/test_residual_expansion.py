@@ -382,3 +382,31 @@ def test_davidson_solver_reports_convergence():
     assert solver.n_matvecs >= 2
     assert solver.final_residual < 1e-9
     assert abs(vals[0] - ref) < 1e-8
+
+
+def test_davidson_with_streaming_operator_regression():
+    """Davidson warm solves must work when the projected H is a streaming
+    LinearOperator (pending staircase blocks, B > 2048) — regression for
+    the r4 crash: LinearOperator has no .diagonal()."""
+    from flow_guided_krylov_tpu.hamiltonians import create_n2_hamiltonian
+
+    h = create_n2_hamiltonian()
+    basis = h.enumerate_basis()
+    diag = h.diagonal_np(basis)
+    seed = basis[np.argsort(diag)[:2000]]
+
+    cfg = ResidualExpansionConfig(configs_per_iteration=150,
+                                  max_iterations=3,
+                                  max_basis_size=2450,
+                                  use_davidson=True)
+    out = iterative_residual_expansion(h, seed, cfg)
+    energies = out["energies"]
+    assert len(energies) >= 2
+    # monotone variational descent across iterations
+    assert all(b <= a + 1e-9 for a, b in zip(energies, energies[1:]))
+    # cross-check the final energy against a cold eigsh on the same basis
+    import scipy.sparse.linalg as spla
+    M = h.to_sparse(out["basis"])
+    M = (M + M.T) * 0.5
+    e_ref = float(spla.eigsh(M, k=1, which="SA")[0][0])
+    assert abs(out["energy"] - e_ref) < 1e-7
