@@ -162,6 +162,28 @@ def _occ_vir_lists_jax(bits: jnp.ndarray, n: int, k: int):
     return occ_list, vir_list
 
 
+def _occ_vir_lists_matmul(bits: jnp.ndarray, n: int, k: int):
+    """Scatter-free occ/vir lists: one-hot compare + tiny matvec.
+
+    vmapped ``.at[].set`` scatters lower poorly on TPU (serialized VPU
+    updates); this form builds the selection one-hot with compares
+    (occ_list[j] = the orbital whose occupied-prefix count is j+1) and
+    contracts it with the orbital iota — pure elementwise + matmul, which
+    XLA tiles freely.  Same outputs as :func:`_occ_vir_lists_jax`.
+    """
+    occ = occupancy(bits, n)                      # (n,) int32 0/1
+    orbitals = jnp.arange(n, dtype=jnp.float32)
+    csum = jnp.cumsum(occ)                        # (n,)
+    ranks_occ = jnp.arange(1, k + 1, dtype=csum.dtype)
+    oh_occ = ((csum[None, :] == ranks_occ[:, None]) & (occ[None, :] == 1))
+    occ_list = (oh_occ.astype(jnp.float32) @ orbitals).astype(jnp.int32)
+    vsum = jnp.cumsum(1 - occ)
+    ranks_vir = jnp.arange(1, n - k + 1, dtype=vsum.dtype)
+    oh_vir = ((vsum[None, :] == ranks_vir[:, None]) & (occ[None, :] == 0))
+    vir_list = (oh_vir.astype(jnp.float32) @ orbitals).astype(jnp.int32)
+    return occ_list, vir_list
+
+
 def _occ_vir_lists_np(bits: np.ndarray, n: int, k: int):
     """(B,) uint32 -> ((B, k), (B, n-k)) ascending orbital index lists."""
     shifts = np.arange(n, dtype=np.uint32)

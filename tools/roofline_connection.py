@@ -88,7 +88,8 @@ def _variants(h):
     from flow_guided_krylov_tpu.ops.slater import (make_connection_fn,
                                                    make_connection_fn_mxu)
     from flow_guided_krylov_tpu.ops.bits import occupancy, parity_between
-    from flow_guided_krylov_tpu.ops.slater import _occ_vir_lists_jax
+    from flow_guided_krylov_tpu.ops.slater import (_occ_vir_lists_jax,
+                                                   _occ_vir_lists_matmul)
 
     t = h.tables
     n, ka, kb = t.n_orb, t.n_alpha, t.n_beta
@@ -104,7 +105,7 @@ def _variants(h):
     one = jnp.uint32(1)
 
     def make_v1(use_gather=True, use_parity=True, emit_conn=True,
-                emit_elems=True):
+                emit_elems=True, lists_fn=_occ_vir_lists_jax):
         def h2g(p, q, r, s):
             if not use_gather:
                 return (p + q + r + s).astype(jnp.float32)
@@ -123,8 +124,8 @@ def _variants(h):
             occ_a = occupancy(pa, n).astype(jnp.float32)
             occ_b = occupancy(pb, n).astype(jnp.float32)
             N = occ_a + occ_b
-            la, va = _occ_vir_lists_jax(pa, n, ka)
-            lb, vb = _occ_vir_lists_jax(pb, n, kb)
+            la, va = lists_fn(pa, n, ka)
+            lb, vb = lists_fn(pb, n, kb)
             coul = (jj * N[None, None, :]).sum(-1)
             m_a = h1 + coul - (ex * occ_a[None, None, :]).sum(-1)
             m_b = h1 + coul - (ex * occ_b[None, None, :]).sum(-1)
@@ -175,13 +176,15 @@ def _variants(h):
             return tuple(outs)
         return fn
 
-    @jax.jit
-    def lists_only(packed):
-        def per_det(pa, pb):
-            la, va = _occ_vir_lists_jax(pa, n, ka)
-            lb, vb = _occ_vir_lists_jax(pb, n, kb)
-            return la.sum() + va.sum() + lb.sum() + vb.sum()
-        return jax.vmap(per_det)(packed[:, 0], packed[:, 1]).sum()
+    def make_lists_only(fn):
+        @jax.jit
+        def lists_only(packed):
+            def per_det(pa, pb):
+                la, va = fn(pa, n, ka)
+                lb, vb = fn(pb, n, kb)
+                return la.sum() + va.sum() + lb.sum() + vb.sum()
+            return jax.vmap(per_det)(packed[:, 0], packed[:, 1]).sum()
+        return lists_only
 
     return {
         "v1_full": make_connection_fn(h.tables),
@@ -191,8 +194,10 @@ def _variants(h):
         "v1_no_conn_write": make_v1(emit_conn=False),
         "v1_scalar_out": make_v1(emit_conn=False, emit_elems=False),
         "v1_no_h2gather": make_v1(use_gather=False),
+        "v1_mm_lists": make_v1(lists_fn=_occ_vir_lists_matmul),
         "v1_no_parity": make_v1(use_parity=False),
-        "lists_only": lists_only,
+        "lists_only": make_lists_only(_occ_vir_lists_jax),
+        "lists_only_mm": make_lists_only(_occ_vir_lists_matmul),
     }
 
 
