@@ -55,7 +55,15 @@ def supported_evolution_dim(h: "Hamiltonian", mesh=None) -> int:
     n_dev = mesh.size if mesh is not None else 1
     budget = MemoryBudget.for_device()
     dense = int(min(budget.dense_hamiltonian_cap(), 20_000) * np.sqrt(n_dev))
-    ell = budget.connection_table_entries() * n_dev // (h.n_connections + 1)
+    # the ELL propagator is ONE fused jit program holding both (C, N)
+    # tables (f32 + s32, ~1.3x sublane padding) plus the Krylov block;
+    # fused programs on this worker crash past ~1.2 GB of resident
+    # allocations regardless of free HBM (measured, docs/KERNELS.md
+    # "TPU worker program limits"), so cap the tables at 0.9 GB on top
+    # of the HBM-budget entry cap
+    program_safe_entries = int(0.9e9 / (2 * 4 * 1.3))
+    entries = min(budget.connection_table_entries(), program_safe_entries)
+    ell = entries * n_dev // (h.n_connections + 1)
     return max(dense, int(ell))
 
 
