@@ -791,10 +791,24 @@ class SampleBasedKrylovDiagonalization:
     def sample_state(self, psi: np.ndarray, shots: int) -> Dict[int, int]:
         """Measurement counts {subspace_index: count}
         (reference ``skqd.py:538-579``)."""
-        self.key, k = jax.random.split(self.key)
-        counts = np.asarray(_sample_counts_device(
-            k, jnp.asarray(np.real(psi), jnp.float32),
-            jnp.asarray(np.imag(psi), jnp.float32), shots, self.dim))
+        try:
+            self.key, k = jax.random.split(self.key)
+            counts = np.asarray(_sample_counts_device(
+                k, jnp.asarray(np.real(psi), jnp.float32),
+                jnp.asarray(np.imag(psi), jnp.float32), shots, self.dim))
+        except Exception as exc:  # dead worker -> host multinomial
+            # a crashed TPU worker kills EVERY subsequent device op in the
+            # client (even PRNG splits), so the degraded-mode chain that
+            # already routed evolution to scipy must sample on host too
+            import warnings
+            warnings.warn(f"device sampling failed ({exc!r}); "
+                          f"falling back to host multinomial")
+            self._host_rng = getattr(
+                self, "_host_rng",
+                np.random.default_rng(self.config.seed + 0x5A))
+            prob = np.abs(np.asarray(psi, np.complex128)) ** 2
+            prob /= prob.sum()
+            counts = self._host_rng.multinomial(shots, prob)
         nz = np.nonzero(counts)[0]
         return {int(i): int(counts[i]) for i in nz}
 
