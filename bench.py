@@ -64,24 +64,24 @@ def main():
     batch = basis[rng.permutation(B)]
     C = h.n_connections
 
-    # device kernels: gather formulation (v1) and one-hot-matmul MXU
-    # formulation (v2); report the faster
-    from flow_guided_krylov_tpu.ops.slater import (make_connection_fn,
-                                                   make_connection_fn_mxu)
+    # the ROUTED production kernel — the same auto-pick every production
+    # call site builds (round-5: bench must report the deployed kernel,
+    # not the best of the variants; see ops/slater.py and
+    # results/conn_kernel_crossover_r5.txt for the per-variant numbers)
+    from flow_guided_krylov_tpu.ops.slater import connection_kernel_choice
     import jax.numpy as jnp
     batch_dev = jnp.asarray(batch)
     iters = 10
-    dt_dev = None
-    for fn in (make_connection_fn(h.tables), make_connection_fn_mxu(h.tables)):
+    fn = h.connections_device
+    out = fn(batch_dev)
+    jax.block_until_ready(out)             # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
         out = fn(batch_dev)
-        jax.block_until_ready(out)             # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(batch_dev)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        dt_dev = dt if dt_dev is None else min(dt_dev, dt)
+    jax.block_until_ready(out)
+    dt_dev = (time.perf_counter() - t0) / iters
     rate_dev = B * C / dt_dev
+    kernel_name = connection_kernel_choice(h.tables)
 
     # live host rate (diagnostic only — the ratio uses the pinned constant)
     t0 = time.perf_counter()
@@ -89,13 +89,18 @@ def main():
     dt_host = time.perf_counter() - t0
     rate_host_live = B * C / dt_host
 
-    tta_s, tta_err, tta_basis = n2_time_to_accuracy()
+    tta_s, tta_err, tta_basis = time_to_accuracy("n2")
+    # second wall (round-5): CH4's space (15,876 configs, C=560) runs the
+    # same HF-seeded SCI machinery on a different shape so the gate can't
+    # overfit the N2 path
+    tta2_s, tta2_err, tta2_basis = time_to_accuracy("ch4")
 
     print(json.dumps({
         "metric": "matrix_elements_per_second",
         "value": round(rate_dev),
         "unit": "elements/s",
         "vs_baseline": round(rate_dev / HOST_BASELINE_ELEMENTS_PER_S, 2),
+        "kernel": kernel_name,
         "host_rate_live": round(rate_host_live),
         # BASELINE.md target metric: end-to-end wall to <1.6 mHa on N2
         # (HF-seeded Selected-CI, the framework's fastest route; the
@@ -103,20 +108,23 @@ def main():
         "n2_time_to_chemacc_s": tta_s,
         "n2_error_mha": tta_err,
         "n2_basis_size": tta_basis,
+        "ch4_time_to_chemacc_s": tta2_s,
+        "ch4_error_mha": tta2_err,
+        "ch4_basis_size": tta2_basis,
     }))
 
 
-def n2_time_to_accuracy():
-    """Wall-clock from HF seed to <1.6 mHa vs FCI on N2/STO-3G (14,400
-    configs) via the stage-3 Selected-CI machinery — the BASELINE.md
-    time-to-accuracy target.  The FCI oracle is instrumentation (disk
-    cached, nothing in the solver reads it); the timed region is the
-    solve alone."""
+def time_to_accuracy(molecule: str):
+    """Wall-clock from HF seed to <1.6 mHa vs FCI (N2/STO-3G: 14,400
+    configs; CH4: 15,876) via the stage-3 Selected-CI machinery — the
+    BASELINE.md time-to-accuracy target.  The FCI oracle is
+    instrumentation (disk cached, nothing in the solver reads it); the
+    timed region is the solve alone."""
     from flow_guided_krylov_tpu.hamiltonians import MOLECULE_FACTORIES
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
                                                SelectedCIExpander)
 
-    h = MOLECULE_FACTORIES["n2"]()
+    h = MOLECULE_FACTORIES[molecule]()
     exact = h.fci_energy()
     cfg = ResidualExpansionConfig(
         max_iterations=40, configs_per_iteration=300,

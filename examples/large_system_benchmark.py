@@ -201,7 +201,7 @@ def n2_ccpvdz_10o():
 def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
             per_iter: int = 600, growth: float = 0.0,
             threshold: float = 1e-4, screen: float = 0.0,
-            pt2_cap: int = 0) -> dict:
+            pt2_cap: int = 0, checkpoints=None) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
@@ -214,7 +214,8 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
                                        verbose=True, pt2_correct=True,
-                                       pt2_cap=pt2_cap or None)
+                                       pt2_cap=pt2_cap or None,
+                                       pt2_checkpoints=checkpoints)
     e = float(out["energy"])
     res = {"final_energy": e, "basis_size": int(len(out["basis"])),
            "_basis": out["basis"]}
@@ -222,12 +223,48 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
         res["pt2_de2"] = out["pt2_de2"]
         res["pt2_corrected_energy"] = out["pt2_corrected_energy"]
         res["pt2_exact"] = out["pt2_exact"]
+    if "pt2_checkpoints" in out:
+        res.update(extrapolate_de2(out["pt2_checkpoints"],
+                                   e_var_final=e,
+                                   de2_final=out.get("pt2_de2"),
+                                   final_exact=out.get("pt2_exact")))
     if exact is not None:
         res["error_mha"] = 1000 * (e - exact)
         res["chemical_accuracy"] = abs(e - exact) < 1.6e-3
         if "pt2_corrected_energy" in res:
             res["corrected_error_mha"] = 1000 * (res["pt2_corrected_energy"]
                                                  - exact)
+    return res
+
+
+def extrapolate_de2(rows, e_var_final=None, de2_final=None,
+                    final_exact=None) -> dict:
+    """Standard SHCI extrapolation: fit E_total = E_var + dE2 linearly in
+    dE2 over the checkpointed trajectory and read the intercept at
+    dE2 -> 0 (Holmes-Umrigar-Sharma practice for spaces with no
+    convergent oracle).  The quoted uncertainty is the larger of the fit
+    residual and 20% of the extrapolation distance from the deepest
+    point — deliberately conservative."""
+    pts = [(r["de2"], r["e_var"] + r["de2"]) for r in rows if r["exact"]]
+    if (e_var_final is not None and de2_final is not None and final_exact
+            and all(abs(de2_final - r["de2"]) > 1e-12 for r in rows)):
+        pts.append((de2_final, e_var_final + de2_final))
+    res = {"extrapolation_points": [
+        {k: r[k] for k in ("basis_size", "e_var", "de2", "exact")}
+        for r in rows]}
+    if len(pts) < 2:
+        return res
+    pts.sort(key=lambda t: abs(t[0]), reverse=True)
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    (slope, e0), residuals, *_ = np.polyfit(x, y, 1, full=True)
+    fit_rms = float(np.sqrt(residuals[0] / len(x))) if len(residuals) else 0.0
+    dist = abs(float(y[np.argmin(np.abs(x))]) - float(e0))
+    sigma = max(fit_rms, 0.2 * dist)
+    res.update(extrapolated_energy=float(e0),
+               extrapolation_uncertainty_mha=round(1000 * sigma, 3),
+               extrapolation_slope=float(slope),
+               extrapolation_n_points=len(pts))
     return res
 
 
@@ -273,7 +310,7 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_max_basis: int = 50_000, sci_growth: float = 0.0,
         sci_threshold: float = 1e-4, sci_screen: float = 0.0,
         sci_pt2_cap: int = 0, krylov_dim: int = 6,
-        shots: int = 100_000) -> dict:
+        shots: int = 100_000, sci_checkpoints=None) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -284,7 +321,7 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
                       per_iter=sci_per_iter, growth=sci_growth,
                       threshold=sci_threshold, screen=sci_screen,
-                      pt2_cap=sci_pt2_cap)
+                      pt2_cap=sci_pt2_cap, checkpoints=sci_checkpoints)
         if mode == "sci+skqd":
             out.update(run_restricted_skqd(h, exact, out.pop("_basis"),
                                            out["final_energy"],
@@ -351,12 +388,22 @@ def main():
                    help="external-row fetch cap for the exact PT2 "
                         "correction (0 = default 2^23; raise when "
                         "pt2_exact comes back False)")
+    p.add_argument("--sci-checkpoints", default="",
+                   help="comma-separated basis sizes at which to snapshot "
+                        "the exact dE2 mid-trajectory; with >= 2 points "
+                        "the result carries the standard SHCI linear "
+                        "E-vs-dE2->0 extrapolation and its uncertainty "
+                        "(the error bar for spaces where CCSD diverges, "
+                        "e.g. Cr2)")
     args = p.parse_args()
+    checkpoints = ([int(x) for x in args.sci_checkpoints.split(",") if x]
+                   if args.sci_checkpoints else None)
     run(args.system, args.preset, args.mode, sci_iters=args.sci_iters,
         sci_per_iter=args.sci_per_iter, sci_max_basis=args.sci_max_basis,
         sci_growth=args.sci_growth, sci_threshold=args.sci_threshold,
         sci_screen=args.sci_screen, sci_pt2_cap=args.sci_pt2_cap,
-        krylov_dim=args.krylov_dim, shots=args.shots)
+        krylov_dim=args.krylov_dim, shots=args.shots,
+        sci_checkpoints=checkpoints)
 
 
 if __name__ == "__main__":

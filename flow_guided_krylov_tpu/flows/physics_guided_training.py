@@ -36,7 +36,7 @@ import optax
 
 from ..hamiltonians.molecular import MolecularHamiltonian
 from ..ops.bits import unpack_device
-from ..ops.slater import diagonal_batch, make_connection_fn
+from ..ops.slater import diagonal_batch, make_connection_fn_auto
 
 __all__ = ["PhysicsGuidedConfig", "PhysicsGuidedFlowTrainer"]
 
@@ -167,7 +167,7 @@ class PhysicsGuidedFlowTrainer:
         n_orb = h.n_orbitals
         n_sites = 2 * n_orb
         B = c.samples_per_batch
-        conn_fn = make_connection_fn(h.tables)
+        conn_fn = make_connection_fn_auto(h.tables)
         hf = jnp.asarray(h.get_hf_state())
         flow, nqs = self.flow, self.nqs
         mesh = self.mesh

@@ -21,7 +21,7 @@ import numpy as np
 from ..chem import MolecularIntegrals, compute_molecular_integrals
 from ..ops.slater import (SlaterTables, build_tables, connections_batch_np,
                           diagonal_batch, diagonal_batch_np,
-                          make_connection_fn)
+                          make_connection_fn_auto)
 from .base import Hamiltonian, PauliString
 
 __all__ = [
@@ -107,8 +107,11 @@ class MolecularHamiltonian(Hamiltonian):
 
     @property
     def connections_device(self):
+        """The routed production kernel (shape-based auto-pick, round 5):
+        consumed by PT2 device scoring, the restricted-ELL build, and
+        the table builder — see ``ops/slater.py::connection_kernel_choice``."""
         if self._conn_fn is None:
-            self._conn_fn = make_connection_fn(self.tables)
+            self._conn_fn = make_connection_fn_auto(self.tables)
         return self._conn_fn
 
     # ------------------------------------------------------------------

@@ -857,10 +857,19 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
                                  verbose: bool = False,
                                  mesh=None,
                                  pt2_correct: bool = False,
-                                 pt2_cap: Optional[int] = None) -> Dict:
+                                 pt2_cap: Optional[int] = None,
+                                 pt2_checkpoints: Optional[list] = None) -> Dict:
     """Loop expansion rounds with stagnation-based early stopping
     (reference ``residual_expansion.py:260-302`` + pipeline loop
-    ``pipeline.py:527-596``)."""
+    ``pipeline.py:527-596``).
+
+    ``pt2_checkpoints``: ascending basis sizes at which to also run the
+    exact Epstein-Nesbet dE2 mid-trajectory and record
+    (basis_size, e_var, de2, exact) — the raw points of the standard
+    SHCI E-vs-dE2 -> 0 extrapolation (used to error-bar spaces where
+    no convergent wavefunction oracle exists, e.g. Cr2 where CCSD
+    diverges).  The correction's compiled block shape is pinned to the
+    basis cap so the checkpoints reuse one program."""
     import dataclasses
     cfg = config or ResidualExpansionConfig()
     basis = np.atleast_2d(np.asarray(initial_basis, np.uint32))
@@ -876,6 +885,26 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
     best_energy = np.inf
     best_basis = basis
     stall = 0
+    checkpoints = sorted(pt2_checkpoints or [])
+    checkpoint_rows = []
+
+    def _maybe_checkpoint(b):
+        """Exact dE2 snapshots whenever the basis crosses a checkpoint."""
+        while checkpoints and len(b) >= checkpoints[0]:
+            target = checkpoints.pop(0)
+            e_c, c_c = expander._diagonalize(b)       # fingerprint-cached
+            corr = expander.pt2_correction(
+                b, c_c, e_c, cap=pt2_cap or (1 << 23),
+                pad_to=cfg.max_basis_size)
+            row = {"basis_size": int(len(b)), "checkpoint": int(target),
+                   "e_var": float(e_c), "de2": float(corr["de2"]),
+                   "exact": bool(corr["exact"])}
+            checkpoint_rows.append(row)
+            if verbose:
+                print(f"  [pt2 checkpoint] basis={row['basis_size']} "
+                      f"E={row['e_var']:.8f} dE2={row['de2']:.6f} "
+                      f"exact={row['exact']}")
+
     for it in range(cfg.max_iterations):
         n_add = None
         if use_pt2 and cfg.growth_factor > 0:
@@ -894,6 +923,8 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
             print(f"  residual iter {it}: E={e:.8f} "
                   f"basis={len(basis)} added={out['n_added']} "
                   f"accepted={out['accepted']}")
+        if use_pt2 and out["accepted"]:
+            _maybe_checkpoint(basis)
         if not out["accepted"]:
             break
         if improvement < cfg.stagnation_threshold:
@@ -909,13 +940,17 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
               f"pt2-score {t['score']:.1f} s")
     res = {"basis": best_basis, "energy": best_energy,
            "energies": energies, "n_iterations": len(energies)}
+    if checkpoint_rows:
+        res["pt2_checkpoints"] = checkpoint_rows
     if pt2_correct and use_pt2:
         # exact Epstein-Nesbet dE2 of the converged variational state
         # (the final-basis diagonalization hits the fingerprint cache)
         e_b, c_b = expander._diagonalize(best_basis)
-        corr = (expander.pt2_correction(best_basis, c_b, e_b, cap=pt2_cap)
-                if pt2_cap else
-                expander.pt2_correction(best_basis, c_b, e_b))
+        # when mid-trajectory checkpoints ran, pin the same block shape so
+        # the final correction reuses their compiled program
+        pad = cfg.max_basis_size if checkpoint_rows else 0
+        corr = expander.pt2_correction(best_basis, c_b, e_b,
+                                       cap=pt2_cap or (1 << 23), pad_to=pad)
         res.update(pt2_de2=corr["de2"],
                    pt2_corrected_energy=corr["corrected_energy"],
                    pt2_n_external=corr["n_external"],

@@ -8,7 +8,9 @@ parities become popcounts of masked prefixes (SURVEY.md §7.1).  Orbital
 ordering matches the reference: alpha orbitals on qubits 0..n-1, beta on
 n..2n-1.
 
-Supports n_orb <= 31 (the benchmark systems need <= 13).
+Supports n_orb <= 32 per uint32 word (kernels shift by orbital INDEX,
+<= 31, and the uint64 dedup key (alpha << 32) | beta still fits at 32);
+the benchmark systems need <= 14.
 """
 
 from __future__ import annotations
@@ -83,11 +85,12 @@ def unpack_device(packed: jnp.ndarray, n_orb: int) -> jnp.ndarray:
 
 
 def keys_device(packed: jnp.ndarray) -> jnp.ndarray:
-    """(..., 2) uint32 -> (...,) float-safe composite sort key as 2 uint32.
+    """Identity: the packed (..., 2) uint32 pair IS the device key.
 
-    On-device (no uint64 on TPU) we keep keys as the packed pair itself and
-    compare lexicographically where needed; helper returns alpha*2^32+beta
-    as float64 is unavailable, so callers use :func:`lexsort_keys` instead.
+    TPU has no uint64, so there is no on-device composite scalar key;
+    device code sorts/compares the two words lexicographically (e.g.
+    ``jax.lax.sort((a, b), num_keys=2)``).  Kept as the named device
+    counterpart of :func:`keys_np` so call sites document intent.
     """
     return packed
 
@@ -119,8 +122,9 @@ def parity_between_np(bits: np.ndarray, p: np.ndarray, q: np.ndarray
                       ) -> np.ndarray:
     """NumPy mirror of :func:`parity_between`.
 
-    Works in uint32 whenever the orbital indices allow it (n_orb <= 31,
-    the supported range): this numpy build's uint64 elementwise loops are
+    Works in uint32 whenever the orbital indices allow it (index <= 31,
+    i.e. the whole supported n_orb <= 32 range): this numpy build's
+    uint64 elementwise loops are
     ~100x slower than uint32 (no SIMD kernels), which made the host
     Slater-Condon mirror the FCI-oracle bottleneck.
     """

@@ -35,7 +35,9 @@ from .excitations import ExcitationSpec, build_excitation_spec
 
 __all__ = [
     "SlaterTables", "build_tables", "diagonal_batch", "diagonal_batch_np",
-    "make_connection_fn", "connections_batch_np",
+    "make_connection_fn", "make_connection_fn_mxu",
+    "make_connection_fn_mxu_pair", "make_connection_fn_auto",
+    "connection_kernel_choice", "connections_batch_np",
 ]
 
 
@@ -295,8 +297,210 @@ def make_connection_fn(tables: SlaterTables):
 
 
 # ---------------------------------------------------------------------------
-# Host connection kernel (NumPy, float64)
+# Device connection kernel v3: pair-factorized one-hot matmuls (MXU)
 # ---------------------------------------------------------------------------
+
+def make_connection_fn_mxu_pair(tables: SlaterTables):
+    """Pair-factorized MXU variant of :func:`make_connection_fn_mxu`.
+
+    v2 builds one one-hot row per DOUBLE EXCITATION (n_dbl = n_op * n_vp
+    rows), so its matmul FLOPs grow with the excitation count — at
+    N2/cc-pVDZ shapes (n=14, k=5) that is 16 MFLOP/determinant and v2
+    loses its v1 lead.  This variant exploits that the excitation grids
+    are cartesian products:
+
+    * same-spin doubles: the (n_op, n_vp) value matrix is
+      OH_occpair @ A2 @ OH_virpair^T — one-hots over occupied/virtual
+      PAIRS (C(k,2) + C(n-k,2) rows instead of their product);
+    * opposite-spin doubles: the (k_a, nv_a, k_b, nv_b) value tensor is
+      a 4-step one-hot contraction chain over h2 — one-hots over single
+      ORBITALS (k + nv rows instead of k*nv).
+
+    Every contraction selects (one-hot rows have exactly one 1), so
+    HIGHEST-precision passes are value-exact.  ~1.3 MFLOP/det at
+    (14, 5) — 12x less MXU work than v2 — with identical outputs and
+    ordering to v1/v2.
+    """
+    from itertools import combinations as _comb
+
+    n = tables.n_orb
+    ka, kb = tables.n_alpha, tables.n_beta
+    h1 = jnp.asarray(tables.h1, jnp.float32)
+    jj = jnp.asarray(tables.jj, jnp.float32)
+    ex = jnp.asarray(tables.ex, jnp.float32)
+    h2t = jnp.asarray(tables.h2, jnp.float32)          # (n, n, n, n)
+    sing_a = jnp.asarray(tables.spec_a.singles)
+    sing_b = jnp.asarray(tables.spec_b.singles)
+    dbl_a = jnp.asarray(tables.spec_a.doubles)
+    dbl_b = jnp.asarray(tables.spec_b.doubles)
+    ab = jnp.asarray(tables.ab_grid)
+    one = jnp.uint32(1)
+
+    pair_index_np, a2_np = _build_pair_tables(tables)
+    n_pairs = a2_np.shape[0]
+    pair_index = jnp.asarray(pair_index_np)
+    a2 = jnp.asarray(a2_np, jnp.float32)
+
+    # occupied/virtual PAIR grids per spin (host constants)
+    def pair_grid(k):
+        pl = list(_comb(range(k), 2))
+        return (jnp.asarray([i for i, _ in pl], jnp.int32),
+                jnp.asarray([j for _, j in pl], jnp.int32))
+
+    opa_i, opa_j = pair_grid(ka)
+    vpa_a, vpa_b = pair_grid(n - ka)
+    opb_i, opb_j = pair_grid(kb)
+    vpb_a, vpb_b = pair_grid(n - kb)
+
+    hp = jax.lax.Precision.HIGHEST
+    iota_pairs = jnp.arange(n_pairs)
+    iota_orb = jnp.arange(n)
+
+    def flip(bits, p, q):
+        return bits ^ (one << p.astype(jnp.uint32)) \
+                    ^ (one << q.astype(jnp.uint32))
+
+    def onehot_orb(idx):
+        return (idx[:, None] == iota_orb[None, :]).astype(jnp.float32)
+
+    def per_det(pa, pb):
+        occ_a = occupancy(pa, n).astype(jnp.float32)
+        occ_b = occupancy(pb, n).astype(jnp.float32)
+        N = occ_a + occ_b
+        la, va = _occ_vir_lists_jax(pa, n, ka)
+        lb, vb = _occ_vir_lists_jax(pb, n, kb)
+        coul = (jj * N[None, None, :]).sum(-1)
+        m_a = h1 + coul - (ex * occ_a[None, None, :]).sum(-1)
+        m_b = h1 + coul - (ex * occ_b[None, None, :]).sum(-1)
+
+        def singles(bits, other_bits, lst, vlst, m, grid, alpha_channel):
+            p = lst[grid[:, 0]]
+            q = vlst[grid[:, 1]]
+            sign = parity_between(bits, p, q).astype(jnp.float32)
+            elems = m[p, q] * sign
+            nb_ = flip(bits, p, q)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits,
+                                                        nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape),
+                                  nb_], -1)
+            return conn, elems
+
+        conn_sa, el_sa = singles(pa, pb, la, va, m_a, sing_a, True)
+        conn_sb, el_sb = singles(pb, pa, lb, vb, m_b, sing_b, False)
+
+        def doubles_ss(bits, other_bits, lst, vlst, grid,
+                       op_i, op_j, vp_a, vp_b, alpha_channel):
+            # value matrix over (occ pair, vir pair) via pair one-hots
+            row_pi = pair_index[lst[op_i], lst[op_j]]      # (n_op,)
+            col_pi = pair_index[vlst[vp_a], vlst[vp_b]]    # (n_vp,)
+            oh_r = (row_pi[:, None] == iota_pairs[None, :]
+                    ).astype(jnp.float32)
+            oh_c = (col_pi[:, None] == iota_pairs[None, :]
+                    ).astype(jnp.float32)
+            vals = jnp.dot(jnp.dot(oh_r, a2, precision=hp),
+                           oh_c.T, precision=hp).reshape(-1)
+            # grid rows are (occ-pair major, vir-pair minor) — matches
+            p = lst[grid[:, 0]]
+            r = lst[grid[:, 1]]
+            q = vlst[grid[:, 2]]
+            s = vlst[grid[:, 3]]
+            s1 = parity_between(bits, p, q)
+            mid = flip(bits, p, q)
+            s2 = parity_between(mid, r, s)
+            elems = vals * (s1 * s2).astype(jnp.float32)
+            nb_ = flip(mid, r, s)
+            if alpha_channel:
+                conn = jnp.stack([nb_, jnp.broadcast_to(other_bits,
+                                                        nb_.shape)], -1)
+            else:
+                conn = jnp.stack([jnp.broadcast_to(other_bits, nb_.shape),
+                                  nb_], -1)
+            return conn, elems
+
+        conn_aa, el_aa = doubles_ss(pa, pb, la, va, dbl_a,
+                                    opa_i, opa_j, vpa_a, vpa_b, True)
+        conn_bb, el_bb = doubles_ss(pb, pa, lb, vb, dbl_b,
+                                    opb_i, opb_j, vpb_a, vpb_b, False)
+
+        # opposite spin: E[i,a,j,b] = h2[la_i, va_a, lb_j, vb_b] via a
+        # 4-step one-hot contraction chain (occupied axes first: the
+        # k-sized axes shrink the intermediates fastest)
+        oa, vva = onehot_orb(la), onehot_orb(va)
+        ob, vvb = onehot_orb(lb), onehot_orb(vb)
+        t = jnp.einsum("ip,pqrs->iqrs", oa, h2t, precision=hp)
+        t = jnp.einsum("jr,iqrs->iqjs", ob, t, precision=hp)
+        t = jnp.einsum("aq,iqjs->iajs", vva, t, precision=hp)
+        e_ab = jnp.einsum("bs,iajs->iajb", vvb, t, precision=hp)
+        e_ab = e_ab.reshape(ka * (n - ka), kb * (n - kb))
+        # ab_grid rows are (single-a major, single-b minor) with single
+        # index = occ_idx * n_vir + vir_idx — matches the reshape
+        pA = la[sing_a[:, 0]]
+        qA = va[sing_a[:, 1]]
+        pB = lb[sing_b[:, 0]]
+        qB = vb[sing_b[:, 1]]
+        sign_a = parity_between(pa, pA, qA)
+        sign_b = parity_between(pb, pB, qB)
+        el_ab = (e_ab * (sign_a[:, None] * sign_b[None, :]
+                         ).astype(jnp.float32)).reshape(-1)
+        na_ = flip(pa, pA, qA)
+        nb2 = flip(pb, pB, qB)
+        sa_n, sb_n = pA.shape[0], pB.shape[0]
+        conn_ab = jnp.stack([
+            jnp.broadcast_to(na_[:, None], (sa_n, sb_n)).reshape(-1),
+            jnp.broadcast_to(nb2[None, :], (sa_n, sb_n)).reshape(-1)], -1)
+
+        conn = jnp.concatenate([conn_sa, conn_sb, conn_aa, conn_bb, conn_ab],
+                               0)
+        elems = jnp.concatenate([el_sa, el_sb, el_aa, el_bb, el_ab], 0)
+        return conn, elems
+
+    @jax.jit
+    def connections(packed: jnp.ndarray):
+        return jax.vmap(per_det)(packed[:, 0], packed[:, 1])
+
+    return connections
+
+
+# ---------------------------------------------------------------------------
+# Production auto-pick
+# ---------------------------------------------------------------------------
+
+def connection_kernel_choice(tables: SlaterTables) -> str:
+    """Pick the production connection kernel for this active-space shape.
+
+    Calibrated on the real v5e (tools/measure_conn_kernels.py, round 5;
+    results/conn_kernel_crossover_r5.txt).  Env override:
+    ``FGK_CONN_KERNEL`` in {v1, v2, v3, auto}.
+    """
+    import os
+    env = os.environ.get("FGK_CONN_KERNEL", "auto")
+    if env in ("v1", "v2", "v3"):
+        return env
+    # Measured rule (results/conn_kernel_crossover_r5.txt, real v5e):
+    # v1 (gather) never wins on device.  v2 (one-hot) wins for small
+    # actives (n<=10: 1.8-2.3x over v1; its per-double one-hot rows are
+    # cheap there).  v3 (pair-factorized) wins from n=11 up, growing
+    # with the excitation count: 2.7x @ 11:5, 3.0x @ 12:6, 3.8x @ 14:5
+    # (the N2/cc-pVDZ shape), 4.8x @ 16:8.
+    if tables.n_orb <= 10:
+        return "v2"
+    return "v3"
+
+
+def make_connection_fn_auto(tables: SlaterTables):
+    """The production connection kernel: shape-based auto-pick between
+    the gather (v1), one-hot (v2) and pair-factorized (v3) formulations.
+
+    This is what ``MolecularHamiltonian.connections_device``, the
+    connection-table builder and the training hot path build — the
+    kernel ``bench.py`` reports is the one routed here.
+    """
+    makers = {"v1": make_connection_fn,
+              "v2": make_connection_fn_mxu,
+              "v3": make_connection_fn_mxu_pair}
+    return makers[connection_kernel_choice(tables)](tables)
 
 def connections_batch_np(packed: np.ndarray, tables: SlaterTables,
                          chunk: int = 2048
@@ -405,6 +609,26 @@ def connections_batch_np(packed: np.ndarray, tables: SlaterTables,
 # Device connection kernel v2: gathers -> one-hot matmuls (MXU)
 # ---------------------------------------------------------------------------
 
+def _build_pair_tables(tables: SlaterTables):
+    """(pair_index (n,n) int32, A2 (n_pairs, n_pairs) f64) for the MXU
+    formulations: A2[(p<r), (q<s)] = (pq|rs) - (ps|rq)."""
+    import itertools as _it
+    n = tables.n_orb
+    pair_list = list(_it.combinations(range(n), 2))
+    n_pairs = len(pair_list)
+    pair_index_np = np.full((n, n), -1, np.int32)
+    for idx, (p, r) in enumerate(pair_list):
+        pair_index_np[p, r] = idx
+        pair_index_np[r, p] = idx
+    # vectorized: A2[i, j] = h2[p_i, q_j, r_i, s_j] - h2[p_i, s_j, r_i, q_j]
+    pr = np.asarray(pair_list, np.int32)
+    p, r = pr[:, 0][:, None], pr[:, 1][:, None]
+    q, s = pr[:, 0][None, :], pr[:, 1][None, :]
+    a2_np = tables.h2[p, q, r, s] - tables.h2[p, s, r, q]
+    assert a2_np.shape == (n_pairs, n_pairs)
+    return pair_index_np, a2_np
+
+
 def make_connection_fn_mxu(tables: SlaterTables):
     """MXU-formulated variant of :func:`make_connection_fn`.
 
@@ -432,21 +656,9 @@ def make_connection_fn_mxu(tables: SlaterTables):
     ab = jnp.asarray(tables.ab_grid)
     one = jnp.uint32(1)
 
-    # pair index map (p < r) -> row of A2
-    import itertools as _it
-    pair_list = list(_it.combinations(range(n), 2))
-    n_pairs = len(pair_list)
-    pair_index_np = np.full((n, n), -1, np.int32)
-    for idx, (p, r) in enumerate(pair_list):
-        pair_index_np[p, r] = idx
-        pair_index_np[r, p] = idx
+    pair_index_np, a2_np = _build_pair_tables(tables)
+    n_pairs = a2_np.shape[0]
     pair_index = jnp.asarray(pair_index_np)
-
-    # A2[(p<r), (q<s)] = (pq|rs) - (ps|rq)
-    a2_np = np.empty((n_pairs, n_pairs))
-    for i, (p, r) in enumerate(pair_list):
-        for j, (q, s) in enumerate(pair_list):
-            a2_np[i, j] = tables.h2[p, q, r, s] - tables.h2[p, s, r, q]
     a2 = jnp.asarray(a2_np, jnp.float32)
 
     # H2pair[p*n+q, r*n+s] = (pq|rs)

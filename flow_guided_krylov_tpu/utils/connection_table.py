@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.slater import diagonal_batch, make_connection_fn
+from ..ops.slater import diagonal_batch, make_connection_fn_auto
 
 __all__ = ["DeviceConnectionTable", "build_connection_table"]
 
@@ -84,7 +84,7 @@ def build_connection_table(hamiltonian, max_entries: int = 50_000_000,
 
     basis = hamiltonian.enumerate_basis()           # (N, 2) uint32, sorted? no
     N = len(basis)
-    conn_fn = make_connection_fn(hamiltonian.tables)
+    conn_fn = make_connection_fn_auto(hamiltonian.tables)
 
     keys_np = ((basis[:, 0].astype(np.uint64) << np.uint64(n_orb))
                | basis[:, 1].astype(np.uint64)).astype(np.uint32)

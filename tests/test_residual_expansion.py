@@ -410,3 +410,47 @@ def test_davidson_with_streaming_operator_regression():
     M = (M + M.T) * 0.5
     e_ref = float(spla.eigsh(M, k=1, which="SA")[0][0])
     assert abs(out["energy"] - e_ref) < 1e-7
+
+
+def test_pt2_checkpoints_and_extrapolation(lih):
+    """Mid-trajectory exact-dE2 checkpoints record a shrinking |dE2| and
+    the SHCI linear extrapolation lands at/below the variational floor,
+    within a few mHa of FCI on LiH."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "examples"))
+    from large_system_benchmark import extrapolate_de2
+
+    h = lih
+    exact = h.fci_energy()
+    cfg = ResidualExpansionConfig(
+        max_iterations=30, configs_per_iteration=20,
+        stagnation_threshold=1e-9, stagnation_patience=3,
+        max_basis_size=160)
+    # LiH converges at basis ~63, so checkpoints must sit inside the
+    # 20-configs/iter growth ramp
+    out = iterative_residual_expansion(
+        h, h.get_hf_state()[None, :], cfg, pt2_correct=True,
+        pt2_checkpoints=[20, 40, 60])
+    rows = out["pt2_checkpoints"]
+    assert len(rows) == 3
+    sizes = [r["basis_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert all(r["exact"] for r in rows)
+    mags = [abs(r["de2"]) for r in rows]
+    assert mags[-1] < mags[0], "dE2 magnitude should shrink with depth"
+    assert all(r["de2"] <= 1e-12 for r in rows), "EN dE2 is negative"
+
+    fit = extrapolate_de2(rows, e_var_final=out["energy"],
+                          de2_final=out["pt2_de2"],
+                          final_exact=out["pt2_exact"])
+    e0 = fit["extrapolated_energy"]
+    sigma = fit["extrapolation_uncertainty_mha"]
+    assert fit["extrapolation_n_points"] >= 3
+    # the extrapolation must land between the corrected energy's
+    # neighborhood and FCI: below the variational energy, within a few
+    # mHa of the exact answer on this small, well-behaved space
+    assert e0 < out["energy"]
+    assert abs(e0 - exact) < 3e-3
+    assert sigma >= 0.0
