@@ -171,6 +171,28 @@ def ozone_ccpvdz_32o():
     return MolecularHamiltonian(act)
 
 
+@register("ozone_ccpvdz_full")
+def ozone_ccpvdz_full():
+    """O3/cc-pVDZ FULL post-core space (18e, 39o) — the first >32-orbital
+    active space (round-5 W=4 machinery: two uint32 words per spin
+    channel, 128-bit host keys, 4-word lexicographic device sorts).
+    C(39,9)^2 = 4.5e16 configs; the round-4 frontier truncated this
+    system to 32 orbitals — this is the whole space with only the three
+    1s cores frozen."""
+    from flow_guided_krylov_tpu.chem import compute_molecular_integrals
+    from flow_guided_krylov_tpu.chem.active_space import \
+        compute_active_space_integrals
+    from flow_guided_krylov_tpu.hamiltonians import MolecularHamiltonian
+    ang = np.radians(116.8 / 2)
+    r = 1.278
+    geom = [("O", (0.0, 0.0, 0.0)),
+            ("O", (r * np.sin(ang), r * np.cos(ang), 0.0)),
+            ("O", (-r * np.sin(ang), r * np.cos(ang), 0.0))]
+    ints = compute_molecular_integrals(geom, basis="cc-pvdz")
+    act = compute_active_space_integrals(ints, n_frozen=3, n_active=39)
+    return MolecularHamiltonian(act)
+
+
 @register("n2_ccpvdz")
 def n2_ccpvdz():
     """N2/cc-pVDZ (10e, 14o) valence active space

@@ -66,23 +66,47 @@ class Hamiltonian(ABC):
     # Key encoding (host)
     # ------------------------------------------------------------------
 
+    # 128-bit key dtype for 4-word rows: compares lexicographically by
+    # field, i.e. (alpha, beta) numeric order.  np.sort / argsort /
+    # searchsorted / == / != all support structured dtypes, so every key
+    # consumer (_sorted_unique, membership maps, dedup) works unchanged.
+    KEY128 = np.dtype([("a", "<u8"), ("b", "<u8")])
+
     def keys(self, packed: np.ndarray) -> np.ndarray:
-        """(B, W) uint32 -> (B,) uint64 sort/dedup keys."""
+        """(B, W) uint32 -> (B,) sort/dedup keys.
+
+        W <= 2: plain uint64.  W = 4 (two words per spin channel,
+        [a_hi, a_lo, b_hi, b_lo] rows): structured ``KEY128`` records —
+        128 bits, ordered like the concatenated (alpha, beta) integer.
+        """
         packed = np.asarray(packed)
         if packed.ndim == 1:
             packed = packed[:, None]
         if self.pack_words == 1:
             return packed[..., 0].astype(np.uint64)
+        flat = packed.reshape(-1, packed.shape[-1])
+        if self.pack_words == 4:
+            # little-endian view trick per 64-bit half (no uint64 shift
+            # ufuncs: they lack SIMD kernels in this build)
+            kk = np.empty((flat.shape[0], 4), np.uint32)
+            kk[:, 0] = flat[:, 1]    # alpha low
+            kk[:, 1] = flat[:, 0]    # alpha high
+            kk[:, 2] = flat[:, 3]    # beta low
+            kk[:, 3] = flat[:, 2]    # beta high
+            return kk.view(self.KEY128)[:, 0].reshape(packed.shape[:-1])
         # (alpha << 32) | beta without uint64 shift ufuncs (no SIMD kernels
         # in this build): write [beta, alpha] uint32 pairs and reinterpret
         # as little-endian uint64 — two fast copies and a zero-cost view
-        flat = packed.reshape(-1, packed.shape[-1])
         kk = np.empty((flat.shape[0], 2), np.uint32)
         kk[:, 0] = flat[:, 1]        # low word: beta
         kk[:, 1] = flat[:, 0]        # high word: alpha
         return kk.view(np.uint64)[:, 0].reshape(packed.shape[:-1])
 
     def unkey(self, keys: np.ndarray) -> np.ndarray:
+        if self.pack_words == 4:
+            kk = np.asarray(keys, dtype=self.KEY128).reshape(-1, 1)
+            w = kk.view(np.uint32)                   # (B, 4) le words
+            return np.stack([w[:, 1], w[:, 0], w[:, 3], w[:, 2]], axis=-1)
         keys = np.asarray(keys, dtype=np.uint64)
         if self.pack_words == 1:
             return keys.astype(np.uint32)[:, None]

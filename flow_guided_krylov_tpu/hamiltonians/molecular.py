@@ -40,7 +40,7 @@ class MolecularHamiltonian(Hamiltonian):
     connections, matrix elements, HF state, FCI) — rebuilt TPU-first.
     """
 
-    pack_words = 2
+    pack_words = 2          # overridden per instance for n_orbitals > 32
 
     def __init__(self, integrals: MolecularIntegrals):
         self.integrals = integrals
@@ -48,6 +48,9 @@ class MolecularHamiltonian(Hamiltonian):
         self.n_alpha = integrals.n_alpha
         self.n_beta = integrals.n_beta
         self.n_electrons = integrals.n_electrons
+        # 33..64 orbitals span two uint32 words per spin channel
+        # ([a_hi, a_lo, b_hi, b_lo] rows; structured 128-bit host keys)
+        self.pack_words = 4 if self.n_orbitals > 32 else 2
         self.n_sites = 2 * self.n_orbitals  # qubits
         self.n_qubits = self.n_sites
         self.tables: SlaterTables = build_tables(
@@ -73,23 +76,42 @@ class MolecularHamiltonian(Hamiltonian):
         return self.tables.n_connections
 
     def enumerate_basis(self) -> np.ndarray:
-        """All C(n,na)*C(n,nb) particle-conserving determinants, (B,2) uint32."""
+        """All C(n,na)*C(n,nb) particle-conserving determinants,
+        (B, pack_words) uint32."""
         n = self.n_orbitals
-        alphas = np.array([sum(1 << i for i in c)
-                           for c in combinations(range(n), self.n_alpha)],
-                          dtype=np.uint32)
-        betas = np.array([sum(1 << i for i in c)
-                          for c in combinations(range(n), self.n_beta)],
-                         dtype=np.uint32)
-        a = np.repeat(alphas, len(betas))
-        b = np.tile(betas, len(alphas))
-        return np.stack([a, b], axis=-1)
+        if self.n_valid_configs > 200_000_000:
+            raise NotImplementedError(
+                f"enumerate_basis: {self.n_valid_configs} configs is not "
+                "enumerable — use the Selected-CI machinery")
+
+        def channel_words(k):
+            ints = [sum(1 << i for i in c)
+                    for c in combinations(range(n), k)]
+            if n <= 32:
+                return np.array(ints, dtype=np.uint32)[:, None]
+            arr = np.array(ints, dtype=np.uint64)
+            return np.stack([(arr >> np.uint64(32)).astype(np.uint32),
+                             (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+                            axis=-1)                 # [hi, lo]
+
+        alphas = channel_words(self.n_alpha)
+        betas = channel_words(self.n_beta)
+        a = np.repeat(alphas, len(betas), axis=0)
+        b = np.tile(betas, (len(alphas), 1))
+        return np.concatenate([a, b], axis=-1)
 
     def get_hf_state(self) -> np.ndarray:
-        """Aufbau reference determinant, (2,) uint32 (``molecular.py:778-792``)."""
-        a = (1 << self.n_alpha) - 1
-        b = (1 << self.n_beta) - 1
-        return np.array([a, b], dtype=np.uint32)
+        """Aufbau reference determinant, (pack_words,) uint32
+        (``molecular.py:778-792``)."""
+
+        def channel(k):
+            bits = (1 << k) - 1
+            if self.n_orbitals <= 32:
+                return [bits & 0xFFFFFFFF]
+            return [bits >> 32, bits & 0xFFFFFFFF]   # [hi, lo]
+
+        return np.array(channel(self.n_alpha) + channel(self.n_beta),
+                        dtype=np.uint32)
 
     # ------------------------------------------------------------------
     # Kernels

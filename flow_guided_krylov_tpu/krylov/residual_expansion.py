@@ -42,7 +42,12 @@ def _sorted_unique(keys: np.ndarray, return_inverse: bool = False):
     flag = np.empty(len(sk), bool)
     if len(sk):
         flag[0] = True
-        np.not_equal(sk[1:], sk[:-1], out=flag[1:])
+        if sk.dtype.kind == "V":
+            # structured 128-bit keys: the raw not_equal ufunc has no
+            # void loop, but the operator form compares record-wise
+            flag[1:] = sk[1:] != sk[:-1]
+        else:
+            np.not_equal(sk[1:], sk[:-1], out=flag[1:])
     uniq = sk[flag]
     first_idx = order[flag]
     inverse = None
@@ -389,31 +394,36 @@ class SelectedCIExpander:
             n_bits = getattr(h, "key_bits_per_word", None)
         if n_bits is None:
             n_bits = h.n_sites if W == 1 else 16
-        packable = (W == 1) or (2 * n_bits <= 32)
+        packable = (W == 1) or (W == 2 and 2 * n_bits <= 32)
 
         def local_topk(conn, elems, coeff_blk):
-            """Sort + signed accumulation + top-K over one (local) block."""
+            """Sort + signed accumulation + top-K over one (local) block.
+
+            Returns W target-word arrays plus the coupling: W > 2 rows
+            (two words per spin channel) sort lexicographically on all W
+            words, exactly like the W = 2 spin-chain fallback.
+            """
             contrib = (elems * coeff_blk[:, None]).reshape(-1)
-            a = conn[..., 0].reshape(-1)
-            b = (conn[..., 1].reshape(-1) if W == 2
-                 else jnp.zeros_like(a))
+            words = [conn[..., w].reshape(-1) for w in range(W)]
             if packable:
+                a, b = words[0], (words[1] if W == 2 else None)
                 key = ((a << jnp.uint32(n_bits)) | b) if W == 2 else a
                 key, contrib = jax.lax.sort((key, contrib), num_keys=1)
                 a = key >> jnp.uint32(n_bits) if W == 2 else key
-                b = (key & jnp.uint32((1 << n_bits) - 1)) if W == 2 \
-                    else jnp.zeros_like(key)
+                words = [a] if W == 1 else [
+                    a, key & jnp.uint32((1 << n_bits) - 1)]
                 first = jnp.concatenate([
                     jnp.ones((1,), bool), key[1:] != key[:-1]])
             else:
-                a, b, contrib = jax.lax.sort((a, b, contrib),
-                                             num_keys=2)
-                first = jnp.concatenate([
-                    jnp.ones((1,), bool),
-                    (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+                *words, contrib = jax.lax.sort((*words, contrib),
+                                               num_keys=W)
+                neq = words[0][1:] != words[0][:-1]
+                for w in words[1:]:
+                    neq = neq | (w[1:] != w[:-1])
+                first = jnp.concatenate([jnp.ones((1,), bool), neq])
             seg = jnp.cumsum(first) - 1
             coupling = jax.ops.segment_sum(
-                contrib, seg, num_segments=a.shape[0],
+                contrib, seg, num_segments=words[0].shape[0],
                 indices_are_sorted=True)[seg]
             score = jnp.where(first, coupling * coupling, -1.0)
             # approx_max_k is the TPU-native top-k (PartialReduce):
@@ -423,7 +433,8 @@ class SelectedCIExpander:
             sc, idx = jax.lax.approx_max_k(score, K)
             # non-first duplicate rows (score -1) must contribute 0 so the
             # host's grouped sum never double-counts a key
-            return a[idx], b[idx], jnp.where(sc >= 0.0, coupling[idx], 0.0)
+            return tuple(w[idx] for w in words) + (
+                jnp.where(sc >= 0.0, coupling[idx], 0.0),)
 
         fn = self._pt2_fn_cache.get((S_blk, K))
         if fn is None:
@@ -457,17 +468,16 @@ class SelectedCIExpander:
         if pad:
             src = np.concatenate([src, np.repeat(src[:1], pad, axis=0)])
             src_c = np.concatenate([src_c, np.zeros(pad)])
-        tas, tbs, tcs = [], [], []
+        tws = [[] for _ in range(W)]
+        tcs = []
         for i in range(n_blocks):
             sl = slice(i * S_blk, (i + 1) * S_blk)
-            ta, tb, tc = fn(jnp.asarray(src[sl]),
-                            jnp.asarray(src_c[sl], jnp.float32))
-            tas.append(np.asarray(ta).astype(np.uint32))
-            tbs.append(np.asarray(tb).astype(np.uint32))
-            tcs.append(np.asarray(tc, np.float64))
-        ta = np.concatenate(tas)
-        tb = np.concatenate(tbs)
-        cand = (np.stack([ta, tb], -1) if W == 2 else ta[:, None])
+            out = fn(jnp.asarray(src[sl]),
+                     jnp.asarray(src_c[sl], jnp.float32))
+            for w in range(W):
+                tws[w].append(np.asarray(out[w]).astype(np.uint32))
+            tcs.append(np.asarray(out[-1], np.float64))
+        cand = np.stack([np.concatenate(t) for t in tws], -1)
         return cand, np.concatenate(tcs)
 
     def _pt2_candidates(self, basis: np.ndarray, coeffs: np.ndarray,
@@ -635,7 +645,7 @@ class SelectedCIExpander:
             n_bits = getattr(h, "key_bits_per_word", None)
         if n_bits is None:
             n_bits = h.n_sites if W == 1 else 16
-        packable = (W == 1) or (2 * n_bits <= 32)
+        packable = (W == 1) or (W == 2 and 2 * n_bits <= 32)
         if self._pt2_row_cap is None:
             from ..utils.memory import MemoryBudget
             self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
@@ -660,9 +670,16 @@ class SelectedCIExpander:
             return {"de2": de2, "corrected_energy": energy + de2,
                     "n_external": int(ext.sum()), "exact": True}
 
-        if not (packable and self._pt2_row_cap
-                and hasattr(h, "connections_device")):
+        if not (self._pt2_row_cap and hasattr(h, "connections_device")):
             return _host_exact()
+        if not packable:
+            # multiword keys (W=2 spin chains with full 32-bit words,
+            # W=4 molecular >32 orbitals): device blocks with W-key
+            # lexicographic sorts + host externality filter
+            if S * C < self.DEVICE_SCORING_MIN_ELEMS:
+                return _host_exact()
+            return self._pt2_correction_multiword(basis, coeffs, energy,
+                                                  cap, pad_to)
 
         # The correction kernel carries a second (score, key, coupling)
         # full sort on top of the scoring footprint, so one block admits
@@ -790,6 +807,126 @@ class SelectedCIExpander:
         de2 = float(np.sum(coupling ** 2 / (energy - diag)))
         return {"de2": de2, "corrected_energy": energy + de2,
                 "n_external": int(len(keys)), "exact": exact}
+
+    def _pt2_correction_multiword(self, basis: np.ndarray,
+                                  coeffs: np.ndarray, energy: float,
+                                  cap: int, pad_to: int) -> Dict:
+        """Device exact-dE2 for multiword target rows (round 5).
+
+        The packable path marks externals on device via a scalar-key
+        searchsorted; multiword keys have no on-device scalar, so each
+        block instead returns its top-``cap + |basis|`` representative
+        rows by coupling^2 (exact sort) and the HOST filters externality
+        against the sorted basis keys.  The |basis| fetch margin means
+        internal rows crowding the top can never displace an external
+        one.  ``exact`` is conservative: True only when every block's
+        weighted unique rows all fit in the fetch window.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        h = self.h
+        W = h.pack_words
+        C = h.n_connections
+        S = len(basis)
+        mesh = self.mesh
+        n_dev = mesh.size if mesh is not None else 1
+        if not self._pt2_row_cap:
+            from ..utils.memory import MemoryBudget
+            self._pt2_row_cap = MemoryBudget.for_device().pt2_score_rows(C)
+        S_blk = max(64, n_dev, min(self._pt2_row_cap // 2,
+                                   1 << (max(S, pad_to) - 1).bit_length()))
+        S_blk += (-S_blk) % n_dev
+        n_blocks = max(1, -(-S // S_blk))
+        S_pad = n_blocks * S_blk
+        fetch = int(min(cap + S, S_blk // n_dev * C))
+        conn_fn = h.connections_device
+
+        fn = self._pt2_corr_cache.get(("mw", S_blk, fetch))
+        if fn is None:
+            def local_corr(src, src_c):
+                conn, elems = conn_fn(src)
+                contrib = (elems * src_c[:, None]).reshape(-1)
+                words = [conn[..., w].reshape(-1) for w in range(W)]
+                *words, contrib = jax.lax.sort((*words, contrib),
+                                               num_keys=W)
+                neq = words[0][1:] != words[0][:-1]
+                for w in words[1:]:
+                    neq = neq | (w[1:] != w[:-1])
+                first = jnp.concatenate([jnp.ones((1,), bool), neq])
+                seg = jnp.cumsum(first) - 1
+                coupling = jax.ops.segment_sum(
+                    contrib, seg, num_segments=words[0].shape[0],
+                    indices_are_sorted=True)[seg]
+                score = jnp.where(first, coupling * coupling, 0.0)
+                n_valid = jnp.sum((score > 0).astype(jnp.int32),
+                                  keepdims=True)
+                out = jax.lax.sort((-score, *words, coupling), num_keys=1)
+                neg, ws, coup = out[0], out[1:1 + W], out[-1]
+                return tuple(w[:fetch] for w in ws) + (
+                    coup[:fetch], -neg[:fetch], n_valid)
+
+            if mesh is not None and n_dev > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rows = P(("data", "basis"))
+                block = jax.shard_map(
+                    local_corr, mesh=mesh,
+                    in_specs=(P(("data", "basis"), None), rows),
+                    out_specs=tuple([rows] * (W + 2)))
+
+                @jax.jit
+                def fn(src, src_c):
+                    src = jax.lax.with_sharding_constraint(
+                        src, NamedSharding(mesh, P(("data", "basis"),
+                                                   None)))
+                    src_c = jax.lax.with_sharding_constraint(
+                        src_c, NamedSharding(mesh, rows))
+                    return block(src, src_c)
+            else:
+                fn = jax.jit(local_corr)
+
+            self._pt2_corr_cache.clear()     # one live shape is enough
+            self._pt2_corr_cache[("mw", S_blk, fetch)] = fn
+
+        src = basis
+        src_c = np.asarray(coeffs, np.float64)
+        if S_pad > S:
+            src = np.concatenate([src, np.repeat(src[:1], S_pad - S, 0)])
+            src_c = np.concatenate([src_c, np.zeros(S_pad - S)])
+
+        exact = True
+        det_parts, coup_parts = [], []
+        for i in range(n_blocks):
+            sl = slice(i * S_blk, (i + 1) * S_blk)
+            out = fn(jnp.asarray(src[sl]),
+                     jnp.asarray(src_c[sl], jnp.float32))
+            words = [np.asarray(out[w]).astype(np.uint32)
+                     for w in range(W)]
+            coup = np.asarray(out[W], np.float64)
+            score = np.asarray(out[W + 1])
+            exact = exact and int(np.max(np.asarray(out[W + 2]))) <= fetch
+            valid = score > 0.0
+            det_parts.append(np.stack(words, -1)[valid])
+            coup_parts.append(coup[valid])
+
+        dets = np.concatenate(det_parts)
+        coupling = np.concatenate(coup_parts)
+        # grouped sum of per-block/per-shard partial couplings, then the
+        # host externality filter against the sorted basis keys
+        keys = h.keys(dets)
+        uniq, first_idx, inverse = _sorted_unique(keys, return_inverse=True)
+        coupling = np.bincount(inverse, weights=coupling,
+                               minlength=len(uniq))
+        dets = dets[first_idx]
+        bk = np.sort(h.keys(basis))
+        pos = np.clip(np.searchsorted(bk, uniq), 0, len(bk) - 1)
+        ext = (bk[pos] != uniq) & (coupling != 0.0)
+        dets = dets[ext]
+        coupling = coupling[ext]
+        diag = h.diagonal_np(dets)
+        de2 = float(np.sum(coupling ** 2 / (energy - diag)))
+        return {"de2": de2, "corrected_energy": energy + de2,
+                "n_external": int(ext.sum()), "exact": exact}
 
 
 class ResidualBasedExpander:

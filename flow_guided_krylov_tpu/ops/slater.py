@@ -30,13 +30,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import occupancy, parity_between, parity_between_np
+from .bits import (occupancy, occupancy2, occupancy2_np, parity_between,
+                   parity_between2, parity_between2_np, parity_between_np,
+                   flip_orbital2, flip_orbital2_np)
 from .excitations import ExcitationSpec, build_excitation_spec
 
 __all__ = [
     "SlaterTables", "build_tables", "diagonal_batch", "diagonal_batch_np",
     "make_connection_fn", "make_connection_fn_mxu",
-    "make_connection_fn_mxu_pair", "make_connection_fn_auto",
+    "make_connection_fn_mxu_pair", "make_connection_fn_w2",
+    "make_connection_fn_auto",
     "connection_kernel_choice", "connections_batch_np",
 ]
 
@@ -76,10 +79,12 @@ def build_tables(h1: np.ndarray, h2: np.ndarray, e_nuc: float,
     # one uint32 word per spin channel holds exactly 32 orbitals: every
     # shift in the kernels uses orbital INDICES (<= 31), and the uint64
     # dedup key (alpha << 32) | beta still fits, so n_orb = 32 is the true
-    # single-word ceiling (round-4: was conservatively capped at 31)
-    if n > 32:
+    # single-word ceiling (round-4: was conservatively capped at 31).
+    # 33..64 orbitals use TWO words per channel ([hi, lo]; round 5) and
+    # the ``*_w2`` kernels below.
+    if n > 64:
         raise NotImplementedError(
-            "packed uint32 determinants support n_orb <= 32")
+            "packed 2xuint32 determinant channels support n_orb <= 64")
     r = np.arange(n)
     jj = h2[:, :, r, r]                       # (n, n, n) -> jj[p,q,r]=(pq|rr)
     ex = np.empty((n, n, n))                  # ex[p,q,r] = (pr|rq) = h2[p,r,r,q]
@@ -118,15 +123,21 @@ def _diag_from_occ(na, nb, h1d, jmat, kmat, e_nuc, mm):
 
 
 def diagonal_batch(packed: jnp.ndarray, tables: SlaterTables) -> jnp.ndarray:
-    """(B, 2) uint32 -> (B,) float32 diagonal elements <x|H|x> on device.
+    """(B, 2*ch_words) uint32 -> (B,) float32 diagonal <x|H|x> on device.
 
-    Uses HIGHEST matmul precision: these contractions are tiny (n <= ~30)
+    Uses HIGHEST matmul precision: these contractions are tiny (n <= ~64)
     so full-f32 MXU passes cost nothing, and mHa-level accuracy targets
-    rule out bf16 accumulation here.
+    rule out bf16 accumulation here.  Dispatches on the channel width
+    (one word per spin for n <= 32, two words — [a_hi, a_lo, b_hi, b_lo]
+    rows — above).
     """
     n = tables.n_orb
-    na = occupancy(packed[:, 0], n).astype(jnp.float32)
-    nb = occupancy(packed[:, 1], n).astype(jnp.float32)
+    if n > 32:
+        na = occupancy2(packed[:, 0:2], n).astype(jnp.float32)
+        nb = occupancy2(packed[:, 2:4], n).astype(jnp.float32)
+    else:
+        na = occupancy(packed[:, 0], n).astype(jnp.float32)
+        nb = occupancy(packed[:, 1], n).astype(jnp.float32)
     h1d = jnp.asarray(np.diag(tables.h1), jnp.float32)
     jmat = jnp.asarray(tables.jmat, jnp.float32)
     kmat = jnp.asarray(tables.kmat, jnp.float32)
@@ -141,9 +152,13 @@ def diagonal_batch(packed: jnp.ndarray, tables: SlaterTables) -> jnp.ndarray:
 def diagonal_batch_np(packed: np.ndarray, tables: SlaterTables) -> np.ndarray:
     """Host float64 mirror of :func:`diagonal_batch`."""
     n = tables.n_orb
-    shifts = np.arange(n, dtype=np.uint32)
-    na = ((packed[:, 0:1] >> shifts) & 1).astype(np.float64)
-    nb = ((packed[:, 1:2] >> shifts) & 1).astype(np.float64)
+    if n > 32:
+        na = occupancy2_np(packed[:, 0:2], n).astype(np.float64)
+        nb = occupancy2_np(packed[:, 2:4], n).astype(np.float64)
+    else:
+        shifts = np.arange(n, dtype=np.uint32)
+        na = ((packed[:, 0:1] >> shifts) & 1).astype(np.float64)
+        nb = ((packed[:, 1:2] >> shifts) & 1).astype(np.float64)
     return _diag_from_occ(na, nb, np.diag(tables.h1), tables.jmat,
                           tables.kmat, tables.e_nuc, np.matmul)
 
@@ -154,7 +169,11 @@ def diagonal_batch_np(packed: np.ndarray, tables: SlaterTables) -> np.ndarray:
 
 def _occ_vir_lists_jax(bits: jnp.ndarray, n: int, k: int):
     """uint32 scalar -> (occ_list (k,), vir_list (n-k,)) ascending int32."""
-    occ = occupancy(bits, n)                      # (n,)
+    return _occ_vir_from_occ(occupancy(bits, n), n, k)
+
+
+def _occ_vir_from_occ(occ: jnp.ndarray, n: int, k: int):
+    """(n,) 0/1 occupancy -> (occ_list (k,), vir_list (n-k,)) int32."""
     orbitals = jnp.arange(n, dtype=jnp.int32)
     pos_occ = jnp.where(occ == 1, jnp.cumsum(occ) - 1, k)
     occ_list = jnp.zeros(k, jnp.int32).at[pos_occ].set(orbitals, mode="drop")
@@ -190,6 +209,11 @@ def _occ_vir_lists_np(bits: np.ndarray, n: int, k: int):
     """(B,) uint32 -> ((B, k), (B, n-k)) ascending orbital index lists."""
     shifts = np.arange(n, dtype=np.uint32)
     occ = ((bits[:, None] >> shifts) & 1).astype(np.int8)
+    return _occ_vir_from_occ_np(occ, k)
+
+
+def _occ_vir_from_occ_np(occ: np.ndarray, k: int):
+    """(B, n) 0/1 -> ((B, k), (B, n-k)) ascending orbital index lists."""
     order = np.argsort(1 - occ, axis=1, kind="stable")
     # int32 indices: int64/uint64 elementwise ops lack SIMD in this build
     return order[:, :k].astype(np.int32), order[:, k:].astype(np.int32)
@@ -312,13 +336,17 @@ def make_connection_fn_mxu_pair(tables: SlaterTables):
     * same-spin doubles: the (n_op, n_vp) value matrix is
       OH_occpair @ A2 @ OH_virpair^T — one-hots over occupied/virtual
       PAIRS (C(k,2) + C(n-k,2) rows instead of their product);
-    * opposite-spin doubles: the (k_a, nv_a, k_b, nv_b) value tensor is
-      a 4-step one-hot contraction chain over h2 — one-hots over single
-      ORBITALS (k + nv rows instead of k*nv).
+    * opposite-spin doubles: E = OH_a @ H2pair @ OH_b^T over
+      single-excitation orbital-pair indices p*n+q (v2's form) — clean
+      2D matmuls whose intermediates tile to TPU (8, 128) lanes without
+      padding blowup.  (A 4-step one-hot einsum chain over the 4D h2
+      is fewer FLOPs on paper, but its (B, k, n, n, n) intermediate
+      pads ~9x under TPU tiling and OOMs the fused PT2-scoring program
+      at the production 32k-row block size.)
 
     Every contraction selects (one-hot rows have exactly one 1), so
-    HIGHEST-precision passes are value-exact.  ~1.3 MFLOP/det at
-    (14, 5) — 12x less MXU work than v2 — with identical outputs and
+    HIGHEST-precision passes are value-exact.  ~4.5 MFLOP/det at
+    (14, 5) — 3.6x less MXU work than v2 — with identical outputs and
     ordering to v1/v2.
     """
     from itertools import combinations as _comb
@@ -328,7 +356,8 @@ def make_connection_fn_mxu_pair(tables: SlaterTables):
     h1 = jnp.asarray(tables.h1, jnp.float32)
     jj = jnp.asarray(tables.jj, jnp.float32)
     ex = jnp.asarray(tables.ex, jnp.float32)
-    h2t = jnp.asarray(tables.h2, jnp.float32)          # (n, n, n, n)
+    # H2pair[p*n+q, r*n+s] = (pq|rs) for the opposite-spin matmuls
+    h2pair = jnp.asarray(tables.h2.reshape(n * n, n * n), jnp.float32)
     sing_a = jnp.asarray(tables.spec_a.singles)
     sing_b = jnp.asarray(tables.spec_b.singles)
     dbl_a = jnp.asarray(tables.spec_a.doubles)
@@ -354,14 +383,11 @@ def make_connection_fn_mxu_pair(tables: SlaterTables):
 
     hp = jax.lax.Precision.HIGHEST
     iota_pairs = jnp.arange(n_pairs)
-    iota_orb = jnp.arange(n)
+    iota_nn = jnp.arange(n * n)
 
     def flip(bits, p, q):
         return bits ^ (one << p.astype(jnp.uint32)) \
                     ^ (one << q.astype(jnp.uint32))
-
-    def onehot_orb(idx):
-        return (idx[:, None] == iota_orb[None, :]).astype(jnp.float32)
 
     def per_det(pa, pb):
         occ_a = occupancy(pa, n).astype(jnp.float32)
@@ -424,22 +450,20 @@ def make_connection_fn_mxu_pair(tables: SlaterTables):
         conn_bb, el_bb = doubles_ss(pb, pa, lb, vb, dbl_b,
                                     opb_i, opb_j, vpb_a, vpb_b, False)
 
-        # opposite spin: E[i,a,j,b] = h2[la_i, va_a, lb_j, vb_b] via a
-        # 4-step one-hot contraction chain (occupied axes first: the
-        # k-sized axes shrink the intermediates fastest)
-        oa, vva = onehot_orb(la), onehot_orb(va)
-        ob, vvb = onehot_orb(lb), onehot_orb(vb)
-        t = jnp.einsum("ip,pqrs->iqrs", oa, h2t, precision=hp)
-        t = jnp.einsum("jr,iqrs->iqjs", ob, t, precision=hp)
-        t = jnp.einsum("aq,iqjs->iajs", vva, t, precision=hp)
-        e_ab = jnp.einsum("bs,iajs->iajb", vvb, t, precision=hp)
-        e_ab = e_ab.reshape(ka * (n - ka), kb * (n - kb))
-        # ab_grid rows are (single-a major, single-b minor) with single
-        # index = occ_idx * n_vir + vir_idx — matches the reshape
+        # opposite spin: E = OH_a @ H2pair @ OH_b^T over single-excitation
+        # orbital-pair indices p*n+q (ab_grid rows are single-a major,
+        # single-b minor with single index = occ_idx * n_vir + vir_idx —
+        # matches the one-hot row order)
         pA = la[sing_a[:, 0]]
         qA = va[sing_a[:, 1]]
         pB = lb[sing_b[:, 0]]
         qB = vb[sing_b[:, 1]]
+        oh_a = ((pA * n + qA)[:, None] == iota_nn[None, :]
+                ).astype(jnp.float32)
+        oh_b = ((pB * n + qB)[:, None] == iota_nn[None, :]
+                ).astype(jnp.float32)
+        e_ab = jnp.dot(jnp.dot(oh_a, h2pair, precision=hp), oh_b.T,
+                       precision=hp)
         sign_a = parity_between(pa, pA, qA)
         sign_b = parity_between(pb, pB, qB)
         el_ab = (e_ab * (sign_a[:, None] * sign_b[None, :]
@@ -464,6 +488,146 @@ def make_connection_fn_mxu_pair(tables: SlaterTables):
 
 
 # ---------------------------------------------------------------------------
+# Device connection kernel for 33..64 orbitals (two words per channel)
+# ---------------------------------------------------------------------------
+
+def make_connection_fn_w2(tables: SlaterTables):
+    """Connection kernel for n_orb in 33..64 (round 5).
+
+    Determinant rows are (B, 4) uint32 ``[a_hi, a_lo, b_hi, b_lo]`` (two
+    words per spin channel, [hi, lo] order so lexicographic word order
+    equals numeric order); outputs are ((B, C, 4) targets, (B, C) f32
+    elements) with the same section ordering as the single-word kernels.
+
+    Values use the pair-factorized MXU formulation (v3: occ/vir-pair
+    one-hots against A2 for same-spin doubles, OH @ H2pair @ OH^T for
+    opposite-spin) — the measured winner for every n >= 11 — while the
+    bit operations (occupancy, JW parities, flips) run on the two-word
+    primitives in ``ops/bits.py``.
+    """
+    from itertools import combinations as _comb
+
+    n = tables.n_orb
+    ka, kb = tables.n_alpha, tables.n_beta
+    h1 = jnp.asarray(tables.h1, jnp.float32)
+    jj = jnp.asarray(tables.jj, jnp.float32)
+    ex = jnp.asarray(tables.ex, jnp.float32)
+    h2pair = jnp.asarray(tables.h2.reshape(n * n, n * n), jnp.float32)
+    sing_a = jnp.asarray(tables.spec_a.singles)
+    sing_b = jnp.asarray(tables.spec_b.singles)
+    dbl_a = jnp.asarray(tables.spec_a.doubles)
+    dbl_b = jnp.asarray(tables.spec_b.doubles)
+
+    pair_index_np, a2_np = _build_pair_tables(tables)
+    n_pairs = a2_np.shape[0]
+    pair_index = jnp.asarray(pair_index_np)
+    a2 = jnp.asarray(a2_np, jnp.float32)
+
+    def pair_grid(k):
+        pl = list(_comb(range(k), 2))
+        return (jnp.asarray([i for i, _ in pl], jnp.int32),
+                jnp.asarray([j for _, j in pl], jnp.int32))
+
+    opa_i, opa_j = pair_grid(ka)
+    vpa_a, vpa_b = pair_grid(n - ka)
+    opb_i, opb_j = pair_grid(kb)
+    vpb_a, vpb_b = pair_grid(n - kb)
+
+    hp = jax.lax.Precision.HIGHEST
+    iota_pairs = jnp.arange(n_pairs)
+    iota_nn = jnp.arange(n * n)
+
+    def flip2(bits2, p, q):
+        return flip_orbital2(flip_orbital2(bits2, p), q)
+
+    def per_det(pa2, pb2):
+        occ_a_i = occupancy2(pa2, n)
+        occ_b_i = occupancy2(pb2, n)
+        occ_a = occ_a_i.astype(jnp.float32)
+        occ_b = occ_b_i.astype(jnp.float32)
+        N = occ_a + occ_b
+        la, va = _occ_vir_from_occ(occ_a_i, n, ka)
+        lb, vb = _occ_vir_from_occ(occ_b_i, n, kb)
+        coul = (jj * N[None, None, :]).sum(-1)
+        m_a = h1 + coul - (ex * occ_a[None, None, :]).sum(-1)
+        m_b = h1 + coul - (ex * occ_b[None, None, :]).sum(-1)
+
+        def emit(new2, other2, alpha_channel):
+            other = jnp.broadcast_to(other2, new2.shape)
+            return (jnp.concatenate([new2, other], -1) if alpha_channel
+                    else jnp.concatenate([other, new2], -1))
+
+        def singles(bits2, other2, lst, vlst, m, grid, alpha_channel):
+            p = lst[grid[:, 0]]
+            q = vlst[grid[:, 1]]
+            sign = parity_between2(bits2, p, q).astype(jnp.float32)
+            elems = m[p, q] * sign
+            return emit(flip2(bits2, p, q), other2, alpha_channel), elems
+
+        conn_sa, el_sa = singles(pa2, pb2, la, va, m_a, sing_a, True)
+        conn_sb, el_sb = singles(pb2, pa2, lb, vb, m_b, sing_b, False)
+
+        def doubles_ss(bits2, other2, lst, vlst, grid,
+                       op_i, op_j, vp_a, vp_b, alpha_channel):
+            row_pi = pair_index[lst[op_i], lst[op_j]]
+            col_pi = pair_index[vlst[vp_a], vlst[vp_b]]
+            oh_r = (row_pi[:, None] == iota_pairs[None, :]
+                    ).astype(jnp.float32)
+            oh_c = (col_pi[:, None] == iota_pairs[None, :]
+                    ).astype(jnp.float32)
+            vals = jnp.dot(jnp.dot(oh_r, a2, precision=hp),
+                           oh_c.T, precision=hp).reshape(-1)
+            p = lst[grid[:, 0]]
+            r = lst[grid[:, 1]]
+            q = vlst[grid[:, 2]]
+            s = vlst[grid[:, 3]]
+            s1 = parity_between2(bits2, p, q)
+            mid = flip2(bits2, p, q)
+            s2 = parity_between2(mid, r, s)
+            elems = vals * (s1 * s2).astype(jnp.float32)
+            return emit(flip2(mid, r, s), other2, alpha_channel), elems
+
+        conn_aa, el_aa = doubles_ss(pa2, pb2, la, va, dbl_a,
+                                    opa_i, opa_j, vpa_a, vpa_b, True)
+        conn_bb, el_bb = doubles_ss(pb2, pa2, lb, vb, dbl_b,
+                                    opb_i, opb_j, vpb_a, vpb_b, False)
+
+        # opposite spin: OH_a @ H2pair @ OH_b^T over p*n+q pair indices
+        pA = la[sing_a[:, 0]]
+        qA = va[sing_a[:, 1]]
+        pB = lb[sing_b[:, 0]]
+        qB = vb[sing_b[:, 1]]
+        oh_a = ((pA * n + qA)[:, None] == iota_nn[None, :]
+                ).astype(jnp.float32)
+        oh_b = ((pB * n + qB)[:, None] == iota_nn[None, :]
+                ).astype(jnp.float32)
+        e_ab = jnp.dot(jnp.dot(oh_a, h2pair, precision=hp), oh_b.T,
+                       precision=hp)
+        sign_a = parity_between2(pa2, pA, qA)
+        sign_b = parity_between2(pb2, pB, qB)
+        el_ab = (e_ab * (sign_a[:, None] * sign_b[None, :]
+                         ).astype(jnp.float32)).reshape(-1)
+        na2 = flip2(pa2, pA, qA)                      # (Sa, 2)
+        nb2 = flip2(pb2, pB, qB)                      # (Sb, 2)
+        sa_n, sb_n = pA.shape[0], pB.shape[0]
+        conn_ab = jnp.concatenate([
+            jnp.broadcast_to(na2[:, None, :], (sa_n, sb_n, 2)),
+            jnp.broadcast_to(nb2[None, :, :], (sa_n, sb_n, 2)),
+        ], -1).reshape(sa_n * sb_n, 4)
+
+        conn = jnp.concatenate([conn_sa, conn_sb, conn_aa, conn_bb, conn_ab],
+                               0)
+        elems = jnp.concatenate([el_sa, el_sb, el_aa, el_bb, el_ab], 0)
+        return conn, elems
+
+    @jax.jit
+    def connections(packed: jnp.ndarray):
+        return jax.vmap(per_det)(packed[:, 0:2], packed[:, 2:4])
+
+    return connections
+
+
+# ---------------------------------------------------------------------------
 # Production auto-pick
 # ---------------------------------------------------------------------------
 
@@ -475,6 +639,8 @@ def connection_kernel_choice(tables: SlaterTables) -> str:
     ``FGK_CONN_KERNEL`` in {v1, v2, v3, auto}.
     """
     import os
+    if tables.n_orb > 32:
+        return "w2"                 # the only two-word-channel kernel
     env = os.environ.get("FGK_CONN_KERNEL", "auto")
     if env in ("v1", "v2", "v3"):
         return env
@@ -499,29 +665,34 @@ def make_connection_fn_auto(tables: SlaterTables):
     """
     makers = {"v1": make_connection_fn,
               "v2": make_connection_fn_mxu,
-              "v3": make_connection_fn_mxu_pair}
+              "v3": make_connection_fn_mxu_pair,
+              "w2": make_connection_fn_w2}
     return makers[connection_kernel_choice(tables)](tables)
 
 def connections_batch_np(packed: np.ndarray, tables: SlaterTables,
                          chunk: int = 2048
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized float64 connections: (B,2) uint32 -> ((B,C,2), (B,C)).
+    """Vectorized float64 connections: (B, 2*ch) uint32 -> ((B,C,2*ch), (B,C)).
 
     Processed in ``chunk``-row slices into preallocated outputs: large
     temporaries force glibc into mmap/page-fault churn on every ufunc
     (measured 10x slowdown at N2 scale on a single-core host), while
-    chunk-sized temporaries stay in the warm arena.
+    chunk-sized temporaries stay in the warm arena.  Dispatches to the
+    two-word-channel mirror for n_orb > 32.
     """
     B_total = packed.shape[0]
+    row_w = 4 if tables.n_orb > 32 else 2
     if B_total > chunk:
         C = tables.n_connections
-        conn_out = np.empty((B_total, C, 2), np.uint32)
+        conn_out = np.empty((B_total, C, row_w), np.uint32)
         el_out = np.empty((B_total, C), np.float64)
         for i in range(0, B_total, chunk):
             c, e = connections_batch_np(packed[i:i + chunk], tables)
             conn_out[i:i + len(c)] = c
             el_out[i:i + len(e)] = e
         return conn_out, el_out
+    if tables.n_orb > 32:
+        return _connections_batch_np_w2(packed, tables)
     n, ka, kb = tables.n_orb, tables.n_alpha, tables.n_beta
     B = packed.shape[0]
     # stay in uint32 end to end (n_orb <= 31): this numpy build's uint64
@@ -598,6 +769,92 @@ def connections_batch_np(packed: np.ndarray, tables: SlaterTables,
     na = flip(pa[:, None], p, q).astype(np.uint32)
     nbv = flip(pb[:, None], r, s).astype(np.uint32)
     out_conn.append(np.stack([na, nbv], -1))
+    out_el.append(elems)
+
+    conn = np.concatenate(out_conn, axis=1)
+    elems = np.concatenate(out_el, axis=1)
+    return conn, elems
+
+
+def _connections_batch_np_w2(packed: np.ndarray, tables: SlaterTables
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-word-channel host mirror: (B,4) uint32 -> ((B,C,4), (B,C) f64).
+
+    Same section ordering as the device kernels; values via h2 fancy
+    indexing (an independent formulation from the device's MXU one-hots,
+    so the pair doubles as a cross-check).
+    """
+    n, ka, kb = tables.n_orb, tables.n_alpha, tables.n_beta
+    B = packed.shape[0]
+    pa2 = packed[:, 0:2].astype(np.uint32)
+    pb2 = packed[:, 2:4].astype(np.uint32)
+    occ_a_i = occupancy2_np(pa2, n)
+    occ_b_i = occupancy2_np(pb2, n)
+    occ_a = occ_a_i.astype(np.float64)
+    occ_b = occ_b_i.astype(np.float64)
+    N = occ_a + occ_b
+    la, va = _occ_vir_from_occ_np(occ_a_i, ka)
+    lb, vb = _occ_vir_from_occ_np(occ_b_i, kb)
+
+    coul = np.einsum("pqr,br->bpq", tables.jj, N, optimize=True)
+    m_a = tables.h1[None] + coul - np.einsum("pqr,br->bpq", tables.ex,
+                                             occ_a, optimize=True)
+    m_b = tables.h1[None] + coul - np.einsum("pqr,br->bpq", tables.ex,
+                                             occ_b, optimize=True)
+    h2 = tables.h2
+    bidx = np.arange(B)[:, None]
+
+    def flip2(bits2, p, q):
+        return flip_orbital2_np(flip_orbital2_np(bits2, p), q)
+
+    out_conn = []
+    out_el = []
+
+    def emit(new2, other2, elems, alpha_channel):
+        other = np.broadcast_to(other2[:, None, :], new2.shape)
+        pair = (np.concatenate([new2, other], -1) if alpha_channel
+                else np.concatenate([other, new2], -1))
+        out_conn.append(pair.astype(np.uint32))
+        out_el.append(elems)
+
+    # singles
+    for bits2, other2, lst, vlst, m, is_a, spec in (
+            (pa2, pb2, la, va, m_a, True, tables.spec_a),
+            (pb2, pa2, lb, vb, m_b, False, tables.spec_b)):
+        g = spec.singles
+        p = lst[:, g[:, 0]]
+        q = vlst[:, g[:, 1]]
+        sign = parity_between2_np(bits2[:, None, :], p, q)
+        elems = m[bidx, p, q] * sign
+        emit(flip2(bits2[:, None, :], p, q), other2, elems, is_a)
+
+    # same-spin doubles
+    for bits2, other2, lst, vlst, is_a, spec in (
+            (pa2, pb2, la, va, True, tables.spec_a),
+            (pb2, pa2, lb, vb, False, tables.spec_b)):
+        g = spec.doubles
+        p = lst[:, g[:, 0]]
+        r = lst[:, g[:, 1]]
+        q = vlst[:, g[:, 2]]
+        s = vlst[:, g[:, 3]]
+        s1 = parity_between2_np(bits2[:, None, :], p, q)
+        mid = flip2(bits2[:, None, :], p, q)
+        s2 = parity_between2_np(mid, r, s)
+        elems = (h2[p, q, r, s] - h2[p, s, r, q]) * (s1 * s2)
+        emit(flip2(mid, r, s), other2, elems, is_a)
+
+    # opposite-spin doubles
+    g = tables.ab_grid
+    p = la[:, g[:, 0]]
+    q = va[:, g[:, 1]]
+    r = lb[:, g[:, 2]]
+    s = vb[:, g[:, 3]]
+    sign = (parity_between2_np(pa2[:, None, :], p, q)
+            * parity_between2_np(pb2[:, None, :], r, s))
+    elems = h2[p, q, r, s] * sign
+    na2 = flip2(pa2[:, None, :], p, q).astype(np.uint32)
+    nb2 = flip2(pb2[:, None, :], r, s).astype(np.uint32)
+    out_conn.append(np.concatenate([na2, nb2], -1))
     out_el.append(elems)
 
     conn = np.concatenate(out_conn, axis=1)

@@ -106,6 +106,10 @@ def test_32_orbital_projected_h_and_sci():
     assert np.all(pb == h.integrals.n_beta)
 
 
-def test_33_orbitals_still_raises():
+def test_33_orbitals_routes_to_two_word_channels():
+    # round 5: 33..64 orbitals use two words per spin channel
+    # (tests/test_molecular_w2.py); 65 is the new hard ceiling
+    h = MolecularHamiltonian(_random_ints(33, 2, 2))
+    assert h.pack_words == 4
     with pytest.raises(NotImplementedError):
-        MolecularHamiltonian(_random_ints(33, 2, 2))
+        MolecularHamiltonian(_random_ints(65, 2, 2))
