@@ -172,6 +172,34 @@ def test_w2_exact_pt2_host_path():
     assert corr["corrected_energy"] <= e + 1e-12
 
 
+def test_w2_pt2_correction_multiword_matches_host():
+    """The round-5 multiword DEVICE dE2 path (W-key lexicographic sort +
+    host externality filter) reproduces the exact host correction on a
+    33-site chain — the path the W=2 frontier runs now take."""
+    from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
+                                               SelectedCIExpander)
+    n = 33
+    hz = np.zeros(n)
+    hz[0] = 0.1
+    ham = HeisenbergHamiltonian(n, 1.0, 1.0, 1.0, h_z=hz)
+    seed = pack_spin_state(sum(1 << i for i in range(0, n, 2)), n)[None, :]
+    exp = SelectedCIExpander(ham, ResidualExpansionConfig(
+        max_iterations=3, configs_per_iteration=60, max_basis_size=300))
+    basis = seed
+    for _ in range(3):
+        basis = exp.expand_basis(basis)["basis"]
+    e, vec = exp._diagonalize(basis)
+    cap_saved = exp._pt2_row_cap
+    exp._pt2_row_cap = 0                      # force the host-exact path
+    ref = exp.pt2_correction(basis, vec, e)
+    exp._pt2_row_cap = cap_saved
+    dev = exp._pt2_correction_multiword(basis, vec, e,
+                                        cap=1 << 20, pad_to=0)
+    assert ref["exact"] and dev["exact"]
+    assert dev["n_external"] == ref["n_external"]
+    assert abs(dev["de2"] - ref["de2"]) < 5e-7
+
+
 def test_single_word_layout_unchanged():
     """n <= 31 keeps the original (B, 1) packing and kernel outputs."""
     ham = HeisenbergHamiltonian(12, h_z=np.r_[0.1, np.zeros(11)])
