@@ -111,7 +111,11 @@ def ccsd_reference_dict(ints: MolecularIntegrals, final_energy: float
     try:
         no = ints.n_electrons
         nv = 2 * ints.n_orbitals - no
-        do_t = no ** 3 * nv ** 3 * 8 < 8e9
+        # The blocked (T) path (round 5) needs only O(nv^3) memory, so the
+        # gate is FLOP-count (~no^3 nv^4 dgemm work), not tensor size —
+        # this admits the >32-orbital frontier actives (O3/cc-pVDZ full:
+        # no=18, nv=60 -> ~7.6e10 FLOPs, minutes on the host core).
+        do_t = no ** 3 * nv ** 4 < 5e11
         cc = run_ccsd(ints, do_triples=do_t)
     except Exception as exc:
         out["ccsd_error"] = str(exc)
@@ -330,15 +334,17 @@ def _perturbative_triples(t1, t2, oovv, ovvv, ooov, fd, o_idx, v_idx
                           ) -> float:
     """Conventional (T): E = (1/36) sum t3c * D3 * (t3c + t3d).
 
-    Fully tensorized (o^3 v^3 memory) — fine for the frozen-core active
-    spaces this repo targets on a 125 GB host; a size guard refuses
-    anything that would exceed ~24 GB per tensor.
+    Fully tensorized (o^3 v^3 memory) when that fits in ~2 GB; otherwise
+    the blocked per-occupied-triple formulation (O(nv^3) memory — the
+    standard production layout), which opens (T) to the >32-orbital
+    frontier actives where the full t3 tensor would need terabytes.
+    Both paths compute the identical sum (pinned against each other in
+    ``tests/test_ccsd.py``).
     """
     no, nv = len(o_idx), len(v_idx)
-    if no ** 3 * nv ** 3 * 8 > 24e9:
-        raise MemoryError(
-            f"(T) tensor would need {no**3 * nv**3 * 8 / 1e9:.1f} GB; "
-            "freeze more core or skip triples")
+    if no ** 3 * nv ** 3 * 8 > 2e9:
+        return _perturbative_triples_blocked(t1, t2, oovv, ovvv, ooov,
+                                             fd, o_idx, v_idx)
 
     eps_o = fd[o_idx]
     eps_v = fd[v_idx]
@@ -372,3 +378,50 @@ def _perturbative_triples(t1, t2, oovv, ovvv, ooov, fd, o_idx, v_idx
     t3c = p_i_jk(p_a_bc(w)) / d3
     return float(np.einsum("ijkabc,ijkabc->", t3c, d3 * (t3c + t3d),
                            optimize=True) / 36.0)
+
+
+def _perturbative_triples_blocked(t1, t2, oovv, ovvv, ooov, fd,
+                                  o_idx, v_idx) -> float:
+    """(T) blocked over occupied triples i<j<k — O(nv^3) working memory.
+
+    Per fixed ordered (i, j, k) the connected/disconnected slices are
+
+        u(i,j,k)[a,b,c]  = sum_e t2[j,k,a,e] <ei||bc>
+                           - sum_m t2[i,m,b,c] <ma||jk>
+        ud(i,j,k)[a,b,c] = t1[i,a] <jk||bc>
+
+    (the exact integrands of the full-tensor path above); W/V apply
+    P(i/jk) as the signed sum over the three cyclic placements of i and
+    P(a/bc) as pair swaps on the nv^3 slice.  Both W and V are fully
+    antisymmetric in (i,j,k), so the total reduces to 6x the sum over
+    i<j<k of sum_abc W (W + V) / d3 / 36 = (1/6) sum_{i<j<k} (...).
+    """
+    no, nv = len(o_idx), len(v_idx)
+    eps_o = fd[o_idx]
+    eps_v = fd[v_idx]
+    dv = (eps_v[:, None, None] + eps_v[None, :, None]
+          + eps_v[None, None, :])
+    neg_ovvv = -ovvv  # <ei||bc> = -ovvv[i,e,b,c]
+
+    def u(i, j, k):
+        # sum_e t2[j,k,a,e] * neg_ovvv[i,e,b,c]  — one dgemm
+        x = t2[j, k] @ neg_ovvv[i].reshape(nv, nv * nv)
+        x = x.reshape(nv, nv, nv)
+        # sum_m t2[i,m,b,c] * ooov[j,k,m,a]  ( <ma||jk> = ooov[j,k,m,a] )
+        y = ooov[j, k].T @ t2[i].reshape(no, nv * nv)
+        return x - y.reshape(nv, nv, nv)
+
+    def p_a_bc(x):
+        return x - x.transpose(1, 0, 2) - x.transpose(2, 1, 0)
+
+    e_t = 0.0
+    for i in range(no):
+        for j in range(i + 1, no):
+            for k in range(j + 1, no):
+                w = p_a_bc(u(i, j, k) - u(j, i, k) - u(k, j, i))
+                v = p_a_bc(np.einsum("a,bc->abc", t1[i], oovv[j, k])
+                           - np.einsum("a,bc->abc", t1[j], oovv[i, k])
+                           - np.einsum("a,bc->abc", t1[k], oovv[j, i]))
+                d3 = (eps_o[i] + eps_o[j] + eps_o[k]) - dv
+                e_t += float(np.sum(w * (w + v) / d3))
+    return e_t / 6.0

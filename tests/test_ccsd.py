@@ -101,6 +101,46 @@ def test_frozen_core_matches_folded_active_space():
     assert abs(direct.e_tot - folded.e_tot) < 1e-9
 
 
+@pytest.mark.parametrize("name", ["lih", "h2o", "beh2"])
+def test_blocked_triples_matches_full_tensor(name):
+    """The O(nv^3)-memory blocked (T) (the >32-orbital frontier path) must
+    reproduce the full-t3-tensor contraction to machine precision."""
+    from flow_guided_krylov_tpu.chem.ccsd import (
+        _perturbative_triples, _perturbative_triples_blocked,
+        _spin_orbital_tensors)
+    h = MOLECULE_FACTORIES[name]()
+    ints = h.integrals
+    res = run_ccsd(ints, do_triples=True)
+
+    # rebuild the converged-amplitude inputs the same way run_ccsd does
+    h1, eri, occ_all = _spin_orbital_tensors(ints)
+    f = h1 + np.einsum("piqi->pq", eri[:, occ_all][:, :, :, occ_all],
+                       optimize=True)
+    m = h1.shape[0]
+    occ_set = set(int(p) for p in occ_all)
+    o_idx = np.asarray(occ_all, dtype=np.int64)
+    v_idx = np.array([p for p in range(m) if p not in occ_set],
+                     dtype=np.int64)
+    fd = np.diag(f)
+    ix = np.ix_
+    oovv = eri[ix(o_idx, o_idx, v_idx, v_idx)]
+    ovvv = eri[ix(o_idx, v_idx, v_idx, v_idx)]
+    ooov = eri[ix(o_idx, o_idx, o_idx, v_idx)]
+    d1 = fd[o_idx][:, None] - fd[v_idx][None, :]
+    d2 = (fd[o_idx][:, None, None, None] + fd[o_idx][None, :, None, None]
+          - fd[v_idx][None, None, :, None] - fd[v_idx][None, None, None, :])
+    # MP2 amplitudes are a perfectly good (T) input for a parity check
+    t1 = f[ix(o_idx, v_idx)] / d1
+    t2 = oovv / d2
+
+    e_full = _perturbative_triples(t1, t2, oovv, ovvv, ooov, fd,
+                                   o_idx, v_idx)
+    e_blocked = _perturbative_triples_blocked(t1, t2, oovv, ovvv, ooov,
+                                              fd, o_idx, v_idx)
+    assert e_full == pytest.approx(e_blocked, abs=1e-12, rel=1e-10)
+    assert res.e_triples < 0.0
+
+
 def test_ccsd_reference_dict():
     h = MOLECULE_FACTORIES["lih"]()
     out = ccsd_reference_dict(h.integrals, h.fci_energy())
