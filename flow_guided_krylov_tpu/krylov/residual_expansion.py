@@ -31,28 +31,43 @@ from ..hamiltonians.base import Hamiltonian
 
 
 def _sorted_unique(keys: np.ndarray, return_inverse: bool = False):
-    """(unique_keys, first_index, inverse|None) via argsort+searchsorted.
+    """(unique_keys, first_index, inverse|None) via argsort + a grouped
+    cumsum scatter.
 
     Avoids ``np.unique``'s int64-heavy internals (cumsum/flatnonzero),
     which have no SIMD kernels in this build — for the 4M-key PT2
-    candidate pools this is ~6x faster.
+    candidate pools this is ~6x faster.  Structured 128-bit keys
+    (``KEY128``) sort via ``np.lexsort`` over their two uint64 halves:
+    NumPy's generic record comparator costs a function call per compare,
+    which at the 10^8-row multiword dE2 merges is the difference between
+    minutes and the better part of an hour (round 5).
     """
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
-    flag = np.empty(len(sk), bool)
-    if len(sk):
-        flag[0] = True
-        if sk.dtype.kind == "V":
-            # structured 128-bit keys: the raw not_equal ufunc has no
-            # void loop, but the operator form compares record-wise
-            flag[1:] = sk[1:] != sk[:-1]
-        else:
+    if keys.dtype.kind == "V" and keys.dtype.itemsize == 16:
+        v = keys.view(np.uint64).reshape(-1, 2)       # [hi, lo] halves
+        order = np.lexsort((v[:, 1], v[:, 0]))
+        sv = v[order]
+        flag = np.empty(len(keys), bool)
+        if len(keys):
+            flag[0] = True
+            np.not_equal(sv[1:, 0], sv[:-1, 0], out=flag[1:])
+            flag[1:] |= sv[1:, 1] != sv[:-1, 1]
+        sk = keys[order]
+    else:
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        flag = np.empty(len(sk), bool)
+        if len(sk):
+            flag[0] = True
             np.not_equal(sk[1:], sk[:-1], out=flag[1:])
     uniq = sk[flag]
     first_idx = order[flag]
     inverse = None
     if return_inverse:
-        inverse = np.searchsorted(uniq, keys).astype(np.int32)
+        # group id by position in the sorted order, scattered back to the
+        # input order — replaces len(keys) binary searches (generic
+        # comparator calls for structured keys) with one cumsum + gather
+        inverse = np.empty(len(keys), np.int32)
+        inverse[order] = np.cumsum(flag, dtype=np.int32) - np.int32(1)
     return uniq, first_idx, inverse
 
 __all__ = ["ResidualExpansionConfig", "SelectedCIExpander",
@@ -821,6 +836,13 @@ class SelectedCIExpander:
         internal rows crowding the top can never displace an external
         one.  ``exact`` is conservative: True only when every block's
         weighted unique rows all fit in the fetch window.
+
+        The diagonal H_kk of every fetched row is computed ON DEVICE in
+        fixed-shape chunks from the block outputs (which already live in
+        HBM) — a host ``diagonal_np`` over the 10^8-row merges of a
+        >32-orbital final pass would run for hours on the SIMD-less
+        single-core host (round 5).  The f32 device diagonal perturbs
+        each denominator by ~1e-7 relative, second order in dE2.
         """
         import jax
         import jax.numpy as jnp
@@ -888,6 +910,15 @@ class SelectedCIExpander:
             self._pt2_corr_cache.clear()     # one live shape is enough
             self._pt2_corr_cache[("mw", S_blk, fetch)] = fn
 
+        # chunked device diagonal over the fetched rows (fixed chunk shape
+        # so it compiles once; built AFTER fn so the cache clear above
+        # cannot drop it)
+        diag_chunk = int(min(1 << 22, fetch))
+        dfn = self._pt2_corr_cache.get(("mwdiag", diag_chunk))
+        if dfn is None:
+            dfn = jax.jit(h.diagonal_device)
+            self._pt2_corr_cache[("mwdiag", diag_chunk)] = dfn
+
         src = basis
         src_c = np.asarray(coeffs, np.float64)
         if S_pad > S:
@@ -895,11 +926,19 @@ class SelectedCIExpander:
             src_c = np.concatenate([src_c, np.zeros(S_pad - S)])
 
         exact = True
-        det_parts, coup_parts = [], []
+        det_parts, coup_parts, diag_parts = [], [], []
         for i in range(n_blocks):
             sl = slice(i * S_blk, (i + 1) * S_blk)
             out = fn(jnp.asarray(src[sl]),
                      jnp.asarray(src_c[sl], jnp.float32))
+            rows_dev = jnp.stack(out[:W], -1)        # (fetch, W), in HBM
+            pad_rows = (-fetch) % diag_chunk
+            if pad_rows:
+                rows_dev = jnp.concatenate(
+                    [rows_dev, jnp.tile(rows_dev[:1], (pad_rows, 1))])
+            dps = [np.asarray(dfn(rows_dev[j:j + diag_chunk]), np.float64)
+                   for j in range(0, fetch, diag_chunk)]
+            diag_blk = np.concatenate(dps)[:fetch]
             words = [np.asarray(out[w]).astype(np.uint32)
                      for w in range(W)]
             coup = np.asarray(out[W], np.float64)
@@ -908,22 +947,31 @@ class SelectedCIExpander:
             valid = score > 0.0
             det_parts.append(np.stack(words, -1)[valid])
             coup_parts.append(coup[valid])
+            diag_parts.append(diag_blk[valid])
 
         dets = np.concatenate(det_parts)
         coupling = np.concatenate(coup_parts)
+        diag_all = np.concatenate(diag_parts)
         # grouped sum of per-block/per-shard partial couplings, then the
-        # host externality filter against the sorted basis keys
+        # host externality filter: search the (small) sorted basis keys
+        # in the unique candidates — not every unique candidate in the
+        # basis, which would cost 10^8 generic-comparator binary searches
         keys = h.keys(dets)
         uniq, first_idx, inverse = _sorted_unique(keys, return_inverse=True)
         coupling = np.bincount(inverse, weights=coupling,
                                minlength=len(uniq))
         dets = dets[first_idx]
+        diag = diag_all[first_idx]
+        ext = coupling != 0.0
         bk = np.sort(h.keys(basis))
-        pos = np.clip(np.searchsorted(bk, uniq), 0, len(bk) - 1)
-        ext = (bk[pos] != uniq) & (coupling != 0.0)
+        pos = np.searchsorted(uniq, bk)
+        in_range = pos < len(uniq)
+        pos_v = pos[in_range]
+        hit = uniq[pos_v] == bk[in_range]
+        ext[pos_v[hit]] = False
         dets = dets[ext]
         coupling = coupling[ext]
-        diag = h.diagonal_np(dets)
+        diag = diag[ext]
         de2 = float(np.sum(coupling ** 2 / (energy - diag)))
         return {"de2": de2, "corrected_energy": energy + de2,
                 "n_external": int(ext.sum()), "exact": exact}
