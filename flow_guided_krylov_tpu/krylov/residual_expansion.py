@@ -99,6 +99,20 @@ class ResidualExpansionConfig:
     # over the full basis).  0 disables it (default; all records without
     # a "screened" marker use 0).
     source_screen: float = 0.0
+    # Pre-sort row cap for the device PT2 scorer: when > 0, each scoring
+    # block keeps only the top ``pt2_sort_rows`` candidate rows by
+    # |c_j * H_ij| (TPU ``approx_max_k``, one bandwidth-bound pass) before
+    # the O(rows log rows) multi-word lexicographic sort — the dominant
+    # cost at large connection counts (a 39-orbital W=4 block sorts
+    # 1024 x 104,760 rows with a 4-operand comparator without it).  This
+    # is the per-row half of the SHCI screening criterion (|H_ij c_j|
+    # ranking; Holmes-Tubman-Umrigar): a dropped row can no longer
+    # accumulate into a candidate's coupling, so SELECTION becomes
+    # approximate in exactly the way source_screen already is, while the
+    # exact dE2 correction is untouched (its kernel never drops rows).
+    # 0 disables it (default; records without a "sort-capped" marker
+    # use 0).
+    pt2_sort_rows: int = 0
     # Warm-started Davidson for the per-iteration eigensolve (B > 2048):
     # the SCI projected H is strongly diagonally dominant and the previous
     # round's eigenvector is an excellent guess, so preconditioned Davidson
@@ -185,15 +199,27 @@ class SelectedCIExpander:
                 if n > m:
                     new = basis[m:]
                     n_new = n - m
-                    conn, elems = self.h.connections_np(new)
-                    ck = self.h.keys(conn.reshape(-1, conn.shape[-1]))
                     order = np.argsort(keys)
                     sorted_keys = keys[order]
-                    pos = np.clip(np.searchsorted(sorted_keys, ck), 0, n - 1)
-                    hit = sorted_keys[pos] == ck
-                    rows = np.repeat(np.arange(n_new), conn.shape[1])[hit]
-                    cols = order[pos[hit]]
-                    vals = elems.reshape(-1)[hit]
+                    # fused native path: enumerate + membership-test +
+                    # Slater-Condon values for hits only (C++; the NumPy
+                    # mirror below materializes all n_new * C candidate
+                    # values first — 0.4 M conn/s at 39 orbitals)
+                    from ..ops.native_conn import conn_hits_native
+                    nat = conn_hits_native(self.h, new, sorted_keys)
+                    if nat is not None:
+                        rows, spos, vals = nat
+                        cols = order[spos]
+                    else:
+                        conn, elems = self.h.connections_np(new)
+                        ck = self.h.keys(conn.reshape(-1, conn.shape[-1]))
+                        pos = np.clip(np.searchsorted(sorted_keys, ck),
+                                      0, n - 1)
+                        hit = sorted_keys[pos] == ck
+                        rows = np.repeat(np.arange(n_new),
+                                         conn.shape[1])[hit]
+                        cols = order[pos[hit]]
+                        vals = elems.reshape(-1)[hit]
                     old = cols < m
                     B = sp.coo_matrix((vals[old], (rows[old], cols[old])),
                                       shape=(n_new, m)).tocsr()
