@@ -223,7 +223,7 @@ def n2_ccpvdz_10o():
 def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
             per_iter: int = 600, growth: float = 0.0,
             threshold: float = 1e-4, screen: float = 0.0,
-            pt2_cap: int = 0, checkpoints=None) -> dict:
+            pt2_cap: int = 0, checkpoints=None, sort_rows: int = 0) -> dict:
     """HF-seeded Selected-CI (stage-3 machinery alone) — the fastest
     route on these spaces after the round-2 host-kernel rewrite."""
     from flow_guided_krylov_tpu.krylov import (ResidualExpansionConfig,
@@ -232,7 +232,7 @@ def run_sci(h, exact, max_basis: int = 50_000, iters: int = 80,
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
-        source_screen=screen,
+        source_screen=screen, pt2_sort_rows=sort_rows,
         max_basis_size=min(h.n_valid_configs, max_basis))
     out = iterative_residual_expansion(h, h.get_hf_state()[None, :], cfg,
                                        verbose=True, pt2_correct=True,
@@ -332,7 +332,8 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         sci_max_basis: int = 50_000, sci_growth: float = 0.0,
         sci_threshold: float = 1e-4, sci_screen: float = 0.0,
         sci_pt2_cap: int = 0, krylov_dim: int = 6,
-        shots: int = 100_000, sci_checkpoints=None) -> dict:
+        shots: int = 100_000, sci_checkpoints=None,
+        sci_sort_rows: int = 0) -> dict:
     from flow_guided_krylov_tpu.pipeline import FlowGuidedKrylovPipeline
     from flow_guided_krylov_tpu.utils import QualityPreset, SystemScaler
 
@@ -343,7 +344,8 @@ def run(system: str, preset_name: str = "fast", mode: str = "pipeline",
         out = run_sci(h, exact, max_basis=sci_max_basis, iters=sci_iters,
                       per_iter=sci_per_iter, growth=sci_growth,
                       threshold=sci_threshold, screen=sci_screen,
-                      pt2_cap=sci_pt2_cap, checkpoints=sci_checkpoints)
+                      pt2_cap=sci_pt2_cap, checkpoints=sci_checkpoints,
+                      sort_rows=sci_sort_rows)
         if mode == "sci+skqd":
             out.update(run_restricted_skqd(h, exact, out.pop("_basis"),
                                            out["final_energy"],
@@ -410,6 +412,12 @@ def main():
                    help="external-row fetch cap for the exact PT2 "
                         "correction (0 = default 2^23; raise when "
                         "pt2_exact comes back False)")
+    p.add_argument("--sci-sort-rows", type=int, default=0,
+                   help="pre-sort row cap for the device PT2 scorer: keep "
+                        "only the top-N rows by |c_j*H_ij| (approx_max_k) "
+                        "before the multi-word sort — the SHCI per-row "
+                        "screen; essential at large connection counts "
+                        "(39-orbital O3: C=104,760/det).  0 = off")
     p.add_argument("--sci-checkpoints", default="",
                    help="comma-separated basis sizes at which to snapshot "
                         "the exact dE2 mid-trajectory; with >= 2 points "
@@ -425,7 +433,7 @@ def main():
         sci_growth=args.sci_growth, sci_threshold=args.sci_threshold,
         sci_screen=args.sci_screen, sci_pt2_cap=args.sci_pt2_cap,
         krylov_dim=args.krylov_dim, shots=args.shots,
-        sci_checkpoints=checkpoints)
+        sci_checkpoints=checkpoints, sci_sort_rows=args.sci_sort_rows)
 
 
 if __name__ == "__main__":

@@ -403,7 +403,8 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
                        growth: float = 0.0,
                        pt2_cap: int = 0,
                        threshold: float = 1e-4,
-                       screen: float = 0.0) -> dict:
+                       screen: float = 0.0,
+                       sort_rows: int = 0) -> dict:
     """Seed-state-seeded deep Selected-CI on a spin sector (stage-3
     machinery alone — the spin analog of the molecular ``--mode sci``).
 
@@ -506,7 +507,7 @@ def run_large_spin_sci(model: str, n_spins: int, h_field: float,
         max_iterations=iters, configs_per_iteration=per_iter,
         growth_factor=growth, residual_threshold=threshold,
         stagnation_threshold=1e-6, stagnation_patience=3,
-        source_screen=screen,
+        source_screen=screen, pt2_sort_rows=sort_rows,
         max_basis_size=min(sector_dim, max_basis))
     t0 = time.time()
     out = iterative_residual_expansion(ham, init[None, :], cfg,
@@ -663,6 +664,11 @@ def main():
                    help="with --sci: external-row fetch cap for the exact "
                         "PT2 correction (0 = default 2^23; raise when "
                         "pt2_exact comes back False)")
+    p.add_argument("--sci-sort-rows", type=int, default=0,
+                   help="with --sci: pre-sort row cap for the device PT2 "
+                        "scorer — keep only the top-N rows by |c_j*H_ij| "
+                        "(approx_max_k) before the sort (SHCI per-row "
+                        "screen).  0 = off")
     p.add_argument("--exact-full", action="store_true",
                    help="with --system large: EXACT full-2^n ground state "
                         "on one chip (identity-ELL device Lanczos + host "
@@ -708,7 +714,8 @@ def main():
                                growth=args.sci_growth,
                                pt2_cap=args.sci_pt2_cap,
                                threshold=args.sci_threshold,
-                               screen=args.sci_screen)
+                               screen=args.sci_screen,
+                               sort_rows=args.sci_sort_rows)
         elif args.study:
             points = None
             if args.study_points:

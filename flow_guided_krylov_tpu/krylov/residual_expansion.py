@@ -427,6 +427,14 @@ class SelectedCIExpander:
         # local top-K.
         K = int(min(S_blk // n_dev * C,
                     c.max_basis_size + 16 * c.configs_per_iteration))
+        # pre-sort row cap (SHCI per-row screening on device): keep only
+        # the top cap_rows rows by |c_j * H_ij| before the multi-word
+        # lexicographic sort — approx_max_k is one bandwidth-bound pass
+        # vs the sort's O(rows log rows) multi-operand compares, which
+        # dominate the scoring wall at large connection counts
+        cap_rows = int(c.pt2_sort_rows) if c.pt2_sort_rows else 0
+        if cap_rows:
+            K = min(K, cap_rows)
         # pack (a,b) into one uint32 sort key when the bit budget allows:
         # each extra sort operand costs ~20 s of TPU compile time at this
         # problem size, so the packed variant sorts (key, contrib) only
@@ -446,6 +454,14 @@ class SelectedCIExpander:
             """
             contrib = (elems * coeff_blk[:, None]).reshape(-1)
             words = [conn[..., w].reshape(-1) for w in range(W)]
+            if cap_rows and contrib.shape[0] > cap_rows:
+                # SHCI-style per-row screen: a dropped row's |contrib| is
+                # below cap_rows-th largest, so it could only matter via
+                # accumulation — the same approximation source_screen
+                # already accepts.  The exact dE2 kernel never drops rows.
+                _, sel = jax.lax.approx_max_k(jnp.abs(contrib), cap_rows)
+                contrib = contrib[sel]
+                words = [w[sel] for w in words]
             if packable:
                 a, b = words[0], (words[1] if W == 2 else None)
                 key = ((a << jnp.uint32(n_bits)) | b) if W == 2 else a
@@ -477,7 +493,7 @@ class SelectedCIExpander:
             return tuple(w[idx] for w in words) + (
                 jnp.where(sc >= 0.0, coupling[idx], 0.0),)
 
-        fn = self._pt2_fn_cache.get((S_blk, K))
+        fn = self._pt2_fn_cache.get((S_blk, K, cap_rows))
         if fn is None:
             if mesh is not None and n_dev > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -503,7 +519,7 @@ class SelectedCIExpander:
 
             if len(self._pt2_fn_cache) > 8:
                 self._pt2_fn_cache.clear()
-            self._pt2_fn_cache[(S_blk, K)] = fn
+            self._pt2_fn_cache[(S_blk, K, cap_rows)] = fn
 
         pad = S_pad - S
         if pad:
@@ -1131,9 +1147,12 @@ def iterative_residual_expansion(hamiltonian: Hamiltonian,
             improvement = 0.0
         basis = out["basis"]
         if verbose:
+            t = getattr(expander, "timings", None)
+            split = (f" [diag {t['diag']:.0f}s score {t['score']:.0f}s]"
+                     if t else "")
             print(f"  residual iter {it}: E={e:.8f} "
                   f"basis={len(basis)} added={out['n_added']} "
-                  f"accepted={out['accepted']}")
+                  f"accepted={out['accepted']}{split}")
         if use_pt2 and out["accepted"]:
             _maybe_checkpoint(basis)
         if not out["accepted"]:

@@ -454,3 +454,48 @@ def test_pt2_checkpoints_and_extrapolation(lih):
     assert e0 < out["energy"]
     assert abs(e0 - exact) < 3e-3
     assert sigma >= 0.0
+
+
+def test_pt2_sort_rows_generous_cap_matches_uncapped(lih):
+    """A pre-sort row cap larger than the row count is a no-op: identical
+    candidates and scores to the uncapped scorer."""
+    h = lih
+    basis = _seed_basis(h, 60)
+    vals, vecs = h.exact_ground_state(basis, k=1)
+    e0, coeffs = float(vals[0]), vecs[:, 0]
+
+    base = SelectedCIExpander(h, use_device_scoring=True)
+    capped = SelectedCIExpander(
+        h, ResidualExpansionConfig(pt2_sort_rows=1 << 24,
+                                   max_basis_size=4096),
+        use_device_scoring=True)
+    cand_0, scores_0 = base._pt2_candidates(basis, coeffs, e0)
+    cand_c, scores_c = capped._pt2_candidates(basis, coeffs, e0)
+
+    m0 = dict(zip(h.keys(cand_0).tolist(), scores_0.tolist()))
+    mc = dict(zip(h.keys(cand_c).tolist(), scores_c.tolist()))
+    sig = {k for k, s in m0.items() if s > 1e-10}
+    assert sig.issubset(set(mc))
+    for k in sig:
+        assert mc[k] == pytest.approx(m0[k], rel=5e-3, abs=1e-9)
+
+
+def test_pt2_sort_rows_tight_cap_preserves_convergence(lih):
+    """With a TIGHT per-block row cap (SHCI per-row screen) the expansion
+    still reaches FCI-level accuracy: dropped rows are the tiny-|c*H|
+    tail, which only perturbs selection order."""
+    h = lih
+    exact = h.fci_energy()
+    cfg = ResidualExpansionConfig(
+        max_iterations=40, configs_per_iteration=60,
+        stagnation_threshold=1e-9, stagnation_patience=3,
+        max_basis_size=640, pt2_sort_rows=4096)
+    ex = SelectedCIExpander(h, cfg, use_device_scoring=True)
+    basis = h.get_hf_state()[None, :]
+    for _ in range(cfg.max_iterations):
+        out = ex.expand_basis(basis)
+        basis = out["basis"]
+        if not out["accepted"]:
+            break
+    assert out["energy"] >= exact - 1e-9      # variational
+    assert out["energy"] - exact < 2e-3       # near-FCI on LiH
