@@ -85,25 +85,36 @@ class DavidsonSolver:
               diagonal: np.ndarray, k: int = 1,
               v0: Optional[np.ndarray] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Round-5 hot-loop shape: the subspace lives in preallocated
+        (n, max_subspace) buffers (the old per-iteration ``concatenate``
+        memcpy'd the whole subspace), and the Gram matrix T = V^T W grows
+        by ONE row/column per iteration (one n*m gemv; recomputing the
+        full T was n*m^2 per iteration and dominated deep million-state
+        SCI diag walls — H is symmetric, so T[m,j] = w_m . v_j =
+        t_m . w_j = T[j,m] and a single new column determines both)."""
         n = len(diagonal)
         self.converged = False
         self.n_matvecs = 1
         if v0 is None:
             v0 = np.zeros(n)
             v0[int(np.argmin(diagonal))] = 1.0
-        V = (v0 / np.linalg.norm(v0))[:, None]
-        W = matvec(V[:, 0])[:, None]
-        theta = float(V[:, 0] @ W[:, 0])
+        ms = self.max_subspace
+        V = np.empty((n, ms), np.float64, order="F")
+        W = np.empty((n, ms), np.float64, order="F")
+        T = np.zeros((ms, ms))
+        V[:, 0] = v0 / np.linalg.norm(v0)
+        W[:, 0] = matvec(V[:, 0])
+        T[0, 0] = V[:, 0] @ W[:, 0]
+        theta = float(T[0, 0])
         x = V[:, 0]
+        m = 1
 
         for _ in range(self.max_iterations):
-            T = V.T @ W
-            T = 0.5 * (T + T.T)
-            vals, vecs = np.linalg.eigh(T)
+            vals, vecs = np.linalg.eigh(T[:m, :m])
             theta = vals[0]
             y = vecs[:, 0]
-            x = V @ y
-            r = W @ y - theta * x
+            x = V[:, :m] @ y
+            r = W[:, :m] @ y - theta * x
             rnorm = np.linalg.norm(r)
             self.final_residual = float(rnorm)
             if rnorm < self.tol:
@@ -115,20 +126,26 @@ class DavidsonSolver:
                              np.sign(denom + 1e-30) * 1e-8, denom)
             t = -r / denom
             # orthogonalize against V (QR-style re-orthogonalization)
-            t = t - V @ (V.T @ t)
-            t = t - V @ (V.T @ t)
+            t = t - V[:, :m] @ (V[:, :m].T @ t)
+            t = t - V[:, :m] @ (V[:, :m].T @ t)
             tn = np.linalg.norm(t)
             if tn < 1e-12:
                 break
             t = t / tn
-            if V.shape[1] >= self.max_subspace:
+            if m >= ms:
                 # collapse subspace to current best Ritz vector
-                V = x[:, None]
-                W = matvec(x)[:, None]
+                V[:, 0] = x / np.linalg.norm(x)
+                W[:, 0] = matvec(V[:, 0])
+                T[0, 0] = V[:, 0] @ W[:, 0]
+                m = 1
                 self.n_matvecs += 1
                 continue
-            V = np.concatenate([V, t[:, None]], axis=1)
-            W = np.concatenate([W, matvec(t)[:, None]], axis=1)
+            V[:, m] = t
+            W[:, m] = matvec(t)
+            c = V[:, :m + 1].T @ W[:, m]
+            T[:m + 1, m] = c
+            T[m, :m + 1] = c
+            m += 1
             self.n_matvecs += 1
         return np.array([theta]), x[:, None]
 
