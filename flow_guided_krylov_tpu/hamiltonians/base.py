@@ -163,16 +163,28 @@ class Hamiltonian(ABC):
         keys = self.keys(basis)
         order = np.argsort(keys)
         sorted_keys = keys[order]
-
-        conn, elems = self.connections_np(basis)
-        ck = self.keys(conn.reshape(-1, conn.shape[-1]))
-        pos = np.clip(np.searchsorted(sorted_keys, ck), 0, B - 1
-                      ).astype(np.int32)
-        hit = sorted_keys[pos] == ck
         order32 = order.astype(np.int32)
-        rows = order32[pos[hit]]
-        cols = np.repeat(np.arange(B, dtype=np.int32), conn.shape[1])[hit]
-        vals = elems.reshape(-1)[hit]
+
+        # fused native path (molecular Slater tables): enumeration +
+        # membership + values for hits only — the NumPy mirror below
+        # materializes all B*C candidate values first (~50 memory passes;
+        # 0.4 M conn/s at 39 orbitals on the single-core host)
+        from ..ops.native_conn import conn_hits_native
+        nat = conn_hits_native(self, basis, sorted_keys)
+        if nat is not None:
+            src, spos, vals = nat
+            rows = order32[spos]
+            cols = src
+        else:
+            conn, elems = self.connections_np(basis)
+            ck = self.keys(conn.reshape(-1, conn.shape[-1]))
+            pos = np.clip(np.searchsorted(sorted_keys, ck), 0, B - 1
+                          ).astype(np.int32)
+            hit = sorted_keys[pos] == ck
+            rows = order32[pos[hit]]
+            cols = np.repeat(np.arange(B, dtype=np.int32),
+                             conn.shape[1])[hit]
+            vals = elems.reshape(-1)[hit]
 
         diag = self.diagonal_np(basis)
         rng = np.arange(B, dtype=np.int32)

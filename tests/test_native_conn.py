@@ -98,3 +98,26 @@ def test_incremental_projected_h_uses_native_consistently():
     vals, _ = h.exact_ground_state(full[:700], k=1)
     assert abs(e2 - float(vals[0])) < 1e-9
     assert e2 <= e1 + 1e-12
+
+
+def test_to_sparse_native_matches_numpy():
+    """Hamiltonian.to_sparse through the native kernel must equal the
+    NumPy mirror exactly (same matrix, both channel widths)."""
+    from flow_guided_krylov_tpu.ops import native_conn
+
+    for n, ka, kb, seed in ((8, 2, 2, 11), (34, 2, 1, 12)):
+        h = MolecularHamiltonian(_random_ints(n, ka, kb, seed=seed))
+        full = h.enumerate_basis()
+        rng = np.random.default_rng(seed)
+        basis = full[rng.choice(len(full), min(len(full), 250),
+                                replace=False)]
+        M_nat = h.to_sparse(basis)
+        orig = native_conn._lib
+        native_conn._lib = None            # force the NumPy mirror
+        try:
+            M_np = h.to_sparse(basis)
+        finally:
+            native_conn._lib = orig
+        diff = abs(M_nat - M_np)
+        assert (diff.max() if diff.nnz else 0.0) < 1e-12
+        assert M_nat.nnz == M_np.nnz
